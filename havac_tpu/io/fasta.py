@@ -1,0 +1,225 @@
+"""Multi-FASTA ingestion: parse, 2-bit encode, concatenate, coordinate maps.
+
+Replaces the reference's vendored FastaVector C submodule plus
+SequencePreprocessor (`host/sequence/SequencePreprocessor.cpp`). The sequence
+database becomes one flat array of 2-bit nucleotide codes (a/A→0, c/C→1,
+g/G→2, t/T/u/U→3) with a single separator position after every sequence
+(FastaVector's null terminators), padded up to a block multiple. Separator and
+pad positions receive deterministic pseudo-random symbols — the reference uses
+`rand()` there; we key a stateless hash on the absolute position so runs and
+shards agree (SURVEY.md §7(f)). Hits landing on separator/pad positions are
+dropped at resolution time, mirroring `host/Havac.cpp:166-172`.
+
+Two-way IUPAC ambiguity codes resolve to one of their two nucleotides; all
+other non-ACGT symbols resolve uniformly over the four nucleotides
+(`SequencePreprocessor.cpp:62-85`; we fix the reference's operator-precedence
+bug that made 'Y' always resolve to 'A').
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple, Union
+
+import numpy as np
+
+from havac_tpu.utils.prng import hash_u64
+
+# Symbol classes for the encode table.
+_DIRECT = {
+    "a": 0, "c": 1, "g": 2, "t": 3, "u": 3,
+}
+# 2-way ambiguity codes -> (option0, option1)
+_TWO_WAY = {
+    "r": (0, 2),  # A/G
+    "y": (1, 3),  # C/T
+    "s": (1, 2),  # C/G
+    "w": (0, 3),  # A/T
+    "k": (2, 3),  # G/T
+    "m": (0, 1),  # A/C
+}
+
+# Encode table: value 0-3 direct; 4-9 two-way (index into _TWO_WAY order); 10 = uniform.
+_TWO_WAY_ORDER = "ryswkm"
+_ENCODE_TABLE = np.full(256, 10, dtype=np.uint8)
+for _ch, _code in _DIRECT.items():
+    _ENCODE_TABLE[ord(_ch)] = _code
+    _ENCODE_TABLE[ord(_ch.upper())] = _code
+for _i, _ch in enumerate(_TWO_WAY_ORDER):
+    _ENCODE_TABLE[ord(_ch)] = 4 + _i
+    _ENCODE_TABLE[ord(_ch.upper())] = 4 + _i
+_TWO_WAY_OPTIONS = np.array([_TWO_WAY[c] for c in _TWO_WAY_ORDER], dtype=np.uint8)
+
+
+@dataclass
+class SequenceDatabase:
+    """A concatenated, encoded multi-FASTA database.
+
+    ``codes``: uint8 (padded_length,) of 2-bit symbol codes (values 0..3).
+    ``starts``: int64 (n+1,) — sequence i occupies global positions
+    [starts[i], starts[i] + lengths[i]); starts[n] is the first pad position
+    minus nothing meaningful (= total concatenated length incl. separators).
+    ``lengths``: int64 (n,) original sequence lengths.
+    ``names``: FASTA record names (first token of the header line).
+    """
+
+    codes: np.ndarray
+    starts: np.ndarray
+    lengths: np.ndarray
+    names: List[str]
+    seed: int
+
+    @property
+    def num_sequences(self) -> int:
+        return len(self.names)
+
+    @property
+    def concatenated_length(self) -> int:
+        """Total length including one separator after each sequence."""
+        return int(self.starts[-1])
+
+    @property
+    def padded_length(self) -> int:
+        return int(self.codes.shape[0])
+
+    def global_to_local(self, global_positions: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Map global positions to (sequence_index, position_in_sequence, valid).
+
+        ``valid`` is False for separator positions, pad positions, and anything
+        out of range — those hits must be discarded
+        (`fastaVectorGetLocalSequencePositionFromGlobal` semantics,
+        `host/Havac.cpp:166-172`).
+        """
+        gp = np.asarray(global_positions, dtype=np.int64)
+        idx = np.searchsorted(self.starts, gp, side="right") - 1
+        idx_clamped = np.clip(idx, 0, self.num_sequences - 1)
+        local = gp - self.starts[idx_clamped]
+        valid = (
+            (gp >= 0)
+            & (idx >= 0)
+            & (idx < self.num_sequences)
+            & (local < self.lengths[idx_clamped])
+        )
+        return idx_clamped.astype(np.int64), local, valid
+
+
+def parse_fasta_text(text: str) -> Tuple[List[str], List[bytes]]:
+    names: List[str] = []
+    seqs: List[bytes] = []
+    current: List[str] = []
+    for raw_line in io.StringIO(text):
+        line = raw_line.strip()
+        if not line:
+            continue
+        if line.startswith(">"):
+            if current or names:
+                if not names:
+                    raise ValueError("FASTA data before first '>' header")
+            if names:
+                seqs.append("".join(current).encode())
+                current = []
+            names.append(line[1:].split()[0] if len(line) > 1 else "")
+        else:
+            if not names:
+                raise ValueError("FASTA data before first '>' header")
+            current.append(line)
+    if names:
+        seqs.append("".join(current).encode())
+    if not names:
+        raise ValueError("no FASTA records found")
+    return names, seqs
+
+
+def read_fasta(path: str) -> Tuple[List[str], List[bytes]]:
+    with open(path, "r") as f:
+        return parse_fasta_text(f.read())
+
+
+def encode_database(
+    names: Sequence[str],
+    sequences: Sequence[bytes],
+    pad_multiple: int = 1,
+    seed: int = 0x5A5A,
+) -> SequenceDatabase:
+    """Encode and concatenate sequences into a :class:`SequenceDatabase`.
+
+    Layout: seq0, SEP, seq1, SEP, ..., seqN-1, SEP, PAD... — padded so the total
+    is a multiple of ``pad_multiple`` (the reference pads to its 12,288-wide
+    segment, `SequencePreprocessor.cpp:13-17`; our pad width is a kernel block
+    parameter). SEP/PAD symbols come from the position-keyed hash.
+    """
+    lengths = np.fromiter((len(s) for s in sequences), dtype=np.int64, count=len(sequences))
+    starts = np.concatenate([[0], np.cumsum(lengths + 1)])
+    concat_len = int(starts[-1])
+    padded_len = -(-max(concat_len, 1) // pad_multiple) * pad_multiple
+
+    raw = np.full(padded_len, ord("\0"), dtype=np.uint8)
+    for i, seq in enumerate(sequences):
+        arr = np.frombuffer(seq, dtype=np.uint8)
+        raw[starts[i] : starts[i] + lengths[i]] = arr
+
+    classes = _ENCODE_TABLE[raw]
+    codes = np.where(classes < 4, classes, 0).astype(np.uint8)
+
+    needs_random = classes >= 4
+    if np.any(needs_random):
+        positions = np.nonzero(needs_random)[0]
+        cls = classes[positions]
+        two_way = cls < 10
+        if np.any(two_way):
+            bits = hash_u64(positions[two_way].astype(np.uint64), seed) & np.uint64(1)
+            pair_idx = (cls[two_way] - 4).astype(np.int64)
+            codes[positions[two_way]] = _TWO_WAY_OPTIONS[pair_idx, bits.astype(np.int64)]
+        uniform = ~two_way
+        if np.any(uniform):
+            bits2 = hash_u64(positions[uniform].astype(np.uint64), seed) & np.uint64(3)
+            codes[positions[uniform]] = bits2.astype(np.uint8)
+
+    return SequenceDatabase(
+        codes=codes,
+        starts=starts,
+        lengths=lengths,
+        names=list(names),
+        seed=seed,
+    )
+
+
+def load_fasta_database(
+    path_or_text: Union[str, Tuple[List[str], List[bytes]]],
+    pad_multiple: int = 1,
+    seed: int = 0x5A5A,
+    is_text: bool = False,
+) -> SequenceDatabase:
+    if isinstance(path_or_text, tuple):
+        names, seqs = path_or_text
+    elif is_text:
+        names, seqs = parse_fasta_text(path_or_text)
+    else:
+        names, seqs = read_fasta(path_or_text)
+    return encode_database(names, seqs, pad_multiple=pad_multiple, seed=seed)
+
+
+def pack_2bit(codes: np.ndarray) -> np.ndarray:
+    """Pack 2-bit symbol codes 4-per-byte, little-endian within the byte
+    (symbol i occupies bits [2i, 2i+2) of byte i//4), matching the reference's
+    packing (`SequencePreprocessor.cpp:43-58`)."""
+    if codes.shape[0] % 4:
+        codes = np.pad(codes, (0, 4 - codes.shape[0] % 4))
+    quads = codes.reshape(-1, 4).astype(np.uint8)
+    return (
+        quads[:, 0]
+        | (quads[:, 1] << 2)
+        | (quads[:, 2] << 4)
+        | (quads[:, 3] << 6)
+    ).astype(np.uint8)
+
+
+def unpack_2bit(packed: np.ndarray, length: int) -> np.ndarray:
+    packed = np.asarray(packed, dtype=np.uint8)
+    out = np.empty(packed.shape[0] * 4, dtype=np.uint8)
+    out[0::4] = packed & 3
+    out[1::4] = (packed >> 2) & 3
+    out[2::4] = (packed >> 4) & 3
+    out[3::4] = (packed >> 6) & 3
+    return out[:length]
