@@ -1,0 +1,46 @@
+"""Shared kernel configuration and shape bookkeeping for the SSV kernels."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+@dataclass(frozen=True)
+class SsvKernelConfig:
+    """Geometry of the Pallas SSV kernel.
+
+    ``block_width``: sequence positions per block (the analog of the
+    reference's 12,288-cell segment, `device/PublicDefines.h:18-22`), must be a
+    multiple of 1024 (8 sublanes × 128 lanes).
+    ``rows_per_strip``: model rows per hit-bitmap strip (bitmap depth, ≤ 32
+    since bitmaps pack strips into int32 words).
+    ``max_hit_tiles``: capacity of the compact hit-tile output buffer; a tile
+    is one (strip × block) region with ≥ 1 hit. Overflow is detected and
+    reported (the analog of the reference's 3.5 GiB hit-buffer bound,
+    `host/HavacHwClient.hpp:94`).
+    ``interpret``: run the kernel in the Pallas interpreter (CPU testing).
+    """
+
+    block_width: int = 32768
+    rows_per_strip: int = 32
+    max_hit_tiles: int = 512
+    interpret: bool = False
+
+    def __post_init__(self) -> None:
+        if self.block_width % 1024:
+            raise ValueError("block_width must be a multiple of 1024")
+        if not (1 <= self.rows_per_strip <= 32):
+            raise ValueError("rows_per_strip must be in [1, 32]")
+
+    @property
+    def sublane_rows(self) -> int:
+        """Rows of 128 lanes per block vector (WS)."""
+        return self.block_width // 128
