@@ -1,0 +1,15 @@
+from havac_tpu.engine.api import (
+    DEFAULT_P_VALUE,
+    Havac,
+    HavacRunState,
+    HavacUsageError,
+    RunStats,
+)
+
+__all__ = [
+    "DEFAULT_P_VALUE",
+    "Havac",
+    "HavacRunState",
+    "HavacUsageError",
+    "RunStats",
+]

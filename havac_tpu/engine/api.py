@@ -1,0 +1,338 @@
+"""Public driver API — the TPU-native equivalent of `class Havac`.
+
+Mirrors the reference facade (`host/Havac.hpp:42-107`): construct with a
+p-value, load a pHMM collection and a sequence database, run the SSV sweep
+(synchronously or asynchronously with state polling and abort), then retrieve
+resolved hits as (sequence_index, position_in_sequence, phmm_index,
+position_in_phmm) — `Havac::getHitsFromFinishedRun` (`host/Havac.cpp:145-187`).
+
+TPU-native redesign notes:
+  * The FPGA runs one monolithic async sweep; we execute a *chunked* stream of
+    kernel dispatches over sequence-axis chunks (each a whole number of kernel
+    blocks), chaining the boundary-column carry between chunks — the same
+    mechanism as the reference's on-chip score queue, lifted to the host loop.
+    Chunking is what makes `abort()` responsive (the reference aborts via XRT,
+    `host/Havac.cpp:100-102`) and bounds device memory for arbitrarily large
+    databases (the reference's 4 GiB sequence / 3.5 GiB hit-buffer limits,
+    `host/HavacHwClient.cpp:92-97`, `host/HavacHwClient.hpp:94`, become soft
+    chunking parameters instead of hard capacity errors).
+  * Hit-tile buffer overflow inside a chunk is retried with a doubled buffer
+    instead of being a fatal capacity error.
+  * `run_async` returns immediately; progress is observable via `state` and
+    `progress` (fraction of chunks completed).
+"""
+
+from __future__ import annotations
+
+import enum
+import threading
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from havac_tpu.hits.decode import ResolvedHits, decode_dense_bitmaps, resolve_hits
+from havac_tpu.io.fasta import SequenceDatabase, load_fasta_database
+from havac_tpu.io.hmm import ProfileHmm, model_length_prefix_sums, read_hmm, read_hmm_text
+from havac_tpu.ops.common import SsvKernelConfig, round_up
+from havac_tpu.scoring.reprojection import project_models
+
+DEFAULT_P_VALUE = 0.02  # `README.md:39`, `benchmark/benchmark.cpp:13`
+
+
+class HavacRunState(enum.Enum):
+    """Run lifecycle, the analog of `havac_cmd_state` (`host/Havac.hpp:16-26`).
+
+    The reference re-exports XRT's ERT command states; ours are the states a
+    chunked dispatch loop can actually be in.
+    """
+
+    IDLE = "idle"  # no run issued yet (ERT_CMD_STATE_NEW analog)
+    RUNNING = "running"
+    COMPLETED = "completed"
+    ABORTED = "aborted"
+    ERROR = "error"
+
+
+class HavacUsageError(RuntimeError):
+    """API misuse (run before load, hits before completion, ...)."""
+
+
+@dataclass
+class RunStats:
+    """Phase timing + throughput, the analog of the reference benchmark's
+    phase timers (`benchmark/benchmark.cpp:43-71`)."""
+
+    num_chunks: int = 0
+    cells: int = 0
+    sweep_seconds: float = 0.0
+    decode_seconds: float = 0.0
+    num_raw_hits: int = 0
+    overflow_retries: int = 0
+
+    @property
+    def gcups(self) -> float:
+        return self.cells / self.sweep_seconds / 1e9 if self.sweep_seconds else 0.0
+
+
+def _pick_backend(requested: str) -> str:
+    if requested != "auto":
+        return requested
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+class Havac:
+    """TPU-native SSV search engine (the `class Havac` equivalent).
+
+    Usage::
+
+        engine = Havac(p_value=0.02)
+        engine.load_phmm("models.hmm")
+        engine.load_sequence("db.fasta")
+        engine.run()                      # or run_async(); wait()
+        hits = engine.hits()              # ResolvedHits columns
+    """
+
+    def __init__(
+        self,
+        p_value: float = DEFAULT_P_VALUE,
+        config: Optional[SsvKernelConfig] = None,
+        backend: str = "auto",
+        chunk_symbols: int = 1 << 24,
+        seed: int = 0x5A5A,
+    ) -> None:
+        self.p_value = float(p_value)
+        self.config = config or SsvKernelConfig()
+        self.backend = _pick_backend(backend)
+        # Chunks must cut on kernel-block boundaries for carry chaining
+        # (ssv_pallas chunk-chaining contract).
+        self.chunk_symbols = round_up(max(chunk_symbols, self.config.block_width),
+                                      self.config.block_width)
+        self.seed = seed
+
+        self.models: Optional[List[ProfileHmm]] = None
+        self.scores: Optional[np.ndarray] = None  # (P, 4) int8 concatenated
+        self.phmm_prefix: Optional[np.ndarray] = None
+        self.database: Optional[SequenceDatabase] = None
+
+        self._state = HavacRunState.IDLE
+        self._state_lock = threading.Lock()
+        self._abort_event = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+        self._hit_rows = np.empty(0, dtype=np.int64)
+        self._hit_positions = np.empty(0, dtype=np.int64)
+        self._chunks_done = 0
+        self._chunks_total = 0
+        self.stats = RunStats()
+
+    # ------------------------------------------------------------------ load
+
+    def load_phmm(self, src: Union[str, ProfileHmm, Sequence[ProfileHmm]],
+                  is_text: bool = False) -> "Havac":
+        """Load + reproject a pHMM collection (`Havac::loadPhmm`,
+        `host/Havac.cpp:42-55`). ``src`` is a path, .hmm text (is_text=True),
+        a ProfileHmm, or a sequence of them."""
+        if isinstance(src, str):
+            models = read_hmm_text(src) if is_text else read_hmm(src)
+        elif isinstance(src, ProfileHmm):
+            models = [src]
+        else:
+            models = list(src)
+        if not models:
+            raise HavacUsageError("no models to load")
+        self.models = models
+        self.scores = project_models(models, self.p_value)
+        self.phmm_prefix = model_length_prefix_sums(models)
+        return self
+
+    def load_sequence(self, src: Union[str, SequenceDatabase],
+                      is_text: bool = False) -> "Havac":
+        """Load + 2-bit encode a FASTA database (`Havac::loadSequence`,
+        `host/Havac.cpp:57-77`)."""
+        if isinstance(src, SequenceDatabase):
+            self.database = src
+        else:
+            self.database = load_fasta_database(
+                src, pad_multiple=self.config.block_width, seed=self.seed,
+                is_text=is_text)
+        return self
+
+    # ------------------------------------------------------------------- run
+
+    @property
+    def state(self) -> HavacRunState:
+        """Run-state query (`Havac::currentHardwareState`,
+        `host/Havac.cpp:190-192`)."""
+        with self._state_lock:
+            return self._state
+
+    @property
+    def progress(self) -> float:
+        total = self._chunks_total
+        return self._chunks_done / total if total else 0.0
+
+    def run(self) -> "Havac":
+        """Synchronous sweep (`Havac::runHardwareClient`, `host/Havac.cpp:80-83`)."""
+        self.run_async()
+        self.wait()
+        if self._error is not None:
+            raise self._error
+        return self
+
+    def run_async(self) -> "Havac":
+        """Dispatch the sweep on a worker thread and return immediately
+        (`Havac::runHardwareClientAsync`, `host/Havac.cpp:85-92`)."""
+        if self.scores is None or self.database is None:
+            raise HavacUsageError("load_phmm and load_sequence must be called before run")
+        if self.state == HavacRunState.RUNNING:
+            raise HavacUsageError("a run is already in flight")
+        self._abort_event.clear()
+        self._error = None
+        self._hit_rows = np.empty(0, dtype=np.int64)
+        self._hit_positions = np.empty(0, dtype=np.int64)
+        self._chunks_done = 0
+        self.stats = RunStats()
+        with self._state_lock:
+            self._state = HavacRunState.RUNNING
+        self._thread = threading.Thread(target=self._run_loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def wait(self, timeout: Optional[float] = None) -> HavacRunState:
+        """Block until the sweep finishes (`Havac::waitHardwareClient`,
+        `host/Havac.cpp:94-98`)."""
+        if self._thread is not None:
+            self._thread.join(timeout)
+        return self.state
+
+    def abort(self) -> None:
+        """Request cancellation; takes effect at the next chunk boundary
+        (`Havac::abortHardwareClient`, `host/Havac.cpp:100-102`)."""
+        self._abort_event.set()
+
+    # ------------------------------------------------------------------ hits
+
+    def raw_hits(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Unresolved global (phmm_row, sequence_position) hit coordinates —
+        the analog of the device's u64 hit records before host decode."""
+        self._require_completed()
+        return self._hit_rows, self._hit_positions
+
+    def hits(self) -> ResolvedHits:
+        """Resolved hits (`Havac::getHitsFromFinishedRun`,
+        `host/Havac.cpp:145-187`): padding/separator hits dropped, model
+        coordinates recovered via prefix sums."""
+        self._require_completed()
+        return resolve_hits(self._hit_rows, self._hit_positions,
+                            self.database, self.phmm_prefix)
+
+    def _require_completed(self) -> None:
+        state = self.state
+        if state == HavacRunState.ERROR and self._error is not None:
+            raise self._error
+        if state != HavacRunState.COMPLETED:
+            raise HavacUsageError(
+                f"hits requested in state {state.value}; run must complete first "
+                "(mirrors the reference's completed-run check, host/Havac.cpp:147-153)")
+
+    # ------------------------------------------------------------- internals
+
+    def _run_loop(self) -> None:
+        import time
+
+        try:
+            scores = self.scores
+            codes = self.database.codes
+            W = self.config.block_width
+            if codes.shape[0] % W:
+                # Prebuilt databases may be padded to a different multiple;
+                # re-pad so every chunk cuts on a kernel-block boundary (pad
+                # hits are dropped at resolution, like separator hits).
+                codes = np.pad(codes, (0, round_up(codes.shape[0], W) - codes.shape[0]))
+            L = codes.shape[0]
+            P = scores.shape[0]
+            chunk = self.chunk_symbols
+            self._chunks_total = max(1, -(-L // chunk))
+
+            carry = np.zeros(P + 1, dtype=np.int32)
+            all_rows: List[np.ndarray] = []
+            all_pos: List[np.ndarray] = []
+
+            t_sweep = 0.0
+            t_decode = 0.0
+            for ci in range(self._chunks_total):
+                if self._abort_event.is_set():
+                    with self._state_lock:
+                        self._state = HavacRunState.ABORTED
+                    return
+                lo = ci * chunk
+                hi = min(L, lo + chunk)
+                t0 = time.perf_counter()
+                rows, pos, carry = self._sweep_chunk(codes[lo:hi], scores, carry)
+                t1 = time.perf_counter()
+                all_rows.append(rows)
+                all_pos.append(pos + lo)
+                t_sweep += t1 - t0
+                self._chunks_done = ci + 1
+
+            t0 = time.perf_counter()
+            if all_rows:
+                self._hit_rows = np.concatenate(all_rows)
+                self._hit_positions = np.concatenate(all_pos)
+            t_decode = time.perf_counter() - t0
+
+            self.stats.num_chunks = self._chunks_total
+            self.stats.cells = L * P
+            self.stats.sweep_seconds = t_sweep
+            self.stats.decode_seconds = t_decode
+            self.stats.num_raw_hits = int(self._hit_rows.shape[0])
+            with self._state_lock:
+                self._state = HavacRunState.COMPLETED
+        except BaseException as exc:  # surfaced on wait()/hits()
+            self._error = exc
+            with self._state_lock:
+                self._state = HavacRunState.ERROR
+
+    def _sweep_chunk(
+        self, codes: np.ndarray, scores: np.ndarray, carry: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self.backend in ("pallas", "pallas_interpret"):
+            from havac_tpu.ops.ssv_pallas import HitTileOverflow, ssv_pallas
+
+            cfg = self.config
+            if self.backend == "pallas_interpret" and not cfg.interpret:
+                cfg = SsvKernelConfig(cfg.block_width, cfg.rows_per_strip,
+                                      cfg.max_hit_tiles, True)
+            while True:
+                try:
+                    rows, pos, _, carry_out = ssv_pallas(
+                        codes, scores, init_carry=carry, config=cfg)
+                    return rows, pos, carry_out.astype(np.int32)
+                except HitTileOverflow:
+                    self.stats.overflow_retries += 1
+                    cfg = SsvKernelConfig(cfg.block_width, cfg.rows_per_strip,
+                                          cfg.max_hit_tiles * 2, cfg.interpret)
+        elif self.backend == "xla":
+            import jax.numpy as jnp
+
+            from havac_tpu.ops.ssv_xla import ssv_scan_xla
+
+            K = self.config.rows_per_strip
+            P = scores.shape[0]
+            P2 = round_up(max(P, 1), K)
+            scores_p = np.full((P2, 4), -128, dtype=np.int8)
+            scores_p[:P] = scores
+            carry_p = np.zeros(P2 + 1, dtype=np.int32)
+            carry_p[: P + 1] = carry
+            bitmaps, _, carry_out = ssv_scan_xla(
+                jnp.asarray(codes), jnp.asarray(scores_p),
+                jnp.zeros(codes.shape[0], jnp.int32), jnp.asarray(carry_p),
+                rows_per_strip=K)
+            rows, pos = decode_dense_bitmaps(np.asarray(bitmaps), K)
+            keep = rows < P
+            return rows[keep], pos[keep], np.asarray(carry_out)[: P + 1]
+        else:
+            raise HavacUsageError(f"unknown backend {self.backend!r}")

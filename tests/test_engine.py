@@ -1,0 +1,152 @@
+"""End-to-end engine tests: the public API against the golden oracle.
+
+The analog of the reference's on-hardware integration rung
+(`host/test/RefernceComparisonTest/ReferenceComparisonTest.cpp:52-176`):
+exact hit-for-hit comparison of the full driver path (FASTA → encode →
+reproject → sweep → resolve) against the multi-model scalar reference,
+plus the abort-path exercise (`:81-86`).
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from havac_tpu.engine import Havac, HavacRunState, HavacUsageError
+from havac_tpu.io.fasta import load_fasta_database
+from havac_tpu.io.hmm import model_length_prefix_sums
+from havac_tpu.hits.decode import resolve_hits
+from havac_tpu.ops.common import SsvKernelConfig
+from havac_tpu.ops.reference import ssv_reference
+from havac_tpu.scoring.reprojection import project_models
+from havac_tpu.testing.generator import generate_planted_fixture
+
+P_VALUE = 0.05
+CFG = SsvKernelConfig(block_width=1024, rows_per_strip=8, max_hit_tiles=512,
+                      interpret=True)
+
+
+def fasta_text(records):
+    return "".join(f">{name}\n{seq}\n" for name, seq in records)
+
+
+def oracle_resolved(engine):
+    """Run the scalar oracle over the engine's own packed inputs."""
+    result, _ = ssv_reference(engine.database.codes, engine.scores)
+    return resolve_hits(result.hit_rows, result.hit_positions,
+                        engine.database, engine.phmm_prefix)
+
+
+def assert_hits_equal(a, b):
+    assert sorted(a.as_tuples()) == sorted(b.as_tuples())
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas_interpret"])
+def test_end_to_end_matches_oracle(backend):
+    models, records = generate_planted_fixture(
+        seed=7, model_length=48, sequence_length=3000, num_models=3)
+    engine = Havac(p_value=P_VALUE, config=CFG, backend=backend)
+    engine.load_phmm(models)
+    engine.load_sequence(load_fasta_database(
+        fasta_text(records), pad_multiple=CFG.block_width, is_text=True))
+    engine.run()
+    got = engine.hits()
+    want = oracle_resolved(engine)
+    assert len(want) > 0, "fixture must plant hits"
+    assert_hits_equal(got, want)
+    assert engine.stats.cells > 0 and engine.stats.sweep_seconds > 0
+
+
+def test_chunked_run_is_exact():
+    """Multiple sequence chunks chained by the boundary carry give the same
+    hits as one chunk (score-queue semantics across dispatches)."""
+    models, records = generate_planted_fixture(
+        seed=11, model_length=40, sequence_length=9000, num_models=2)
+    db = load_fasta_database(fasta_text(records), pad_multiple=CFG.block_width,
+                             is_text=True)
+    small = Havac(p_value=P_VALUE, config=CFG, backend="xla",
+                  chunk_symbols=2048)
+    small.load_phmm(models).load_sequence(db).run()
+    big = Havac(p_value=P_VALUE, config=CFG, backend="xla")
+    big.load_phmm(models).load_sequence(db).run()
+    assert small.stats.num_chunks > 1
+    assert big.stats.num_chunks == 1
+    assert_hits_equal(small.hits(), big.hits())
+    assert_hits_equal(small.hits(), oracle_resolved(big))
+
+
+def test_multi_sequence_resolution():
+    """Hits resolve to per-sequence local coordinates; separator hits drop."""
+    models, records = generate_planted_fixture(
+        seed=3, model_length=32, sequence_length=1500, num_models=1)
+    seq = records[0][1]
+    # split into 3 FASTA records
+    recs = [("s0", seq[:500]), ("s1", seq[500:1000]), ("s2", seq[1000:])]
+    engine = Havac(p_value=P_VALUE, config=CFG, backend="xla")
+    engine.load_phmm(models)
+    engine.load_sequence(fasta_text(recs), is_text=True)
+    engine.run()
+    got = engine.hits()
+    want = oracle_resolved(engine)
+    assert_hits_equal(got, want)
+    for si, sp in zip(got.sequence_index, got.sequence_position):
+        assert 0 <= sp < len(recs[si][1])
+
+
+def test_usage_errors_and_state():
+    engine = Havac(config=CFG, backend="xla")
+    assert engine.state == HavacRunState.IDLE
+    with pytest.raises(HavacUsageError):
+        engine.run()
+    with pytest.raises(HavacUsageError):
+        engine.hits()
+
+
+def test_async_run_and_abort():
+    models, records = generate_planted_fixture(
+        seed=5, model_length=32, sequence_length=30000, num_models=1)
+    engine = Havac(p_value=P_VALUE, config=CFG, backend="xla",
+                   chunk_symbols=1024)
+    engine.load_phmm(models)
+    engine.load_sequence(fasta_text(records), is_text=True)
+
+    # Async completion path.
+    engine.run_async()
+    assert engine.wait(timeout=300) == HavacRunState.COMPLETED
+    n_full = len(engine.hits())
+
+    # Abort path: request cancellation immediately; with many chunks the
+    # abort lands before the run drains (or the run completes, which is the
+    # same race the reference tolerates).
+    engine.run_async()
+    engine.abort()
+    state = engine.wait(timeout=300)
+    assert state in (HavacRunState.ABORTED, HavacRunState.COMPLETED)
+    if state == HavacRunState.ABORTED:
+        with pytest.raises(HavacUsageError):
+            engine.hits()
+
+    # A fresh run after abort recovers fully.
+    engine.run()
+    assert len(engine.hits()) == n_full
+
+
+def test_hit_tile_overflow_retry():
+    """Saturating scores make every cell hit; the engine must retry with a
+    bigger tile buffer instead of failing (reference analog: the 3.5 GiB hit
+    buffer bound, host/HavacHwClient.hpp:94)."""
+    models, records = generate_planted_fixture(
+        seed=9, model_length=16, sequence_length=2000, num_models=1)
+    cfg = SsvKernelConfig(block_width=1024, rows_per_strip=8, max_hit_tiles=1,
+                          interpret=True)
+    engine = Havac(p_value=P_VALUE, config=cfg, backend="pallas_interpret")
+    engine.load_phmm(models)
+    # Saturate: replace projected scores with +127 everywhere → hits all over.
+    engine.load_sequence(fasta_text(records), is_text=True)
+    engine.scores = np.full_like(engine.scores, 127)
+    engine.run()
+    assert engine.stats.overflow_retries > 0
+    rows, pos = engine.raw_hits()
+    result, _ = ssv_reference(engine.database.codes, engine.scores)
+    assert np.array_equal(rows, result.hit_rows)
+    assert np.array_equal(pos, result.hit_positions)
