@@ -25,8 +25,9 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     if on_tpu:
-        L = 1 << 23  # 8.4M symbols
-        P = 4096
+        W = 258048  # SWAR kernel block width (3 × 672 × 128)
+        L = W * 33  # ~8.5M symbols
+        P = 4080  # 136 strips of 30 rows
     else:  # CPU smoke mode so the bench always runs
         L = 1 << 18
         P = 256
@@ -35,23 +36,21 @@ def main() -> None:
     scores = rng.integers(-40, 12, size=(P, 4)).astype(np.int8)
 
     if on_tpu:
-        from havac_tpu.ops.common import SsvKernelConfig
-        from havac_tpu.ops.ssv_pallas import _ssv_pallas_jit
+        from havac_tpu.ops.ssv_swar import (
+            ROWS_PER_STRIP, _ssv_swar_jit, pack_symbols)
 
-        cfg = SsvKernelConfig()
-        W, K, WS = cfg.block_width, cfg.rows_per_strip, cfg.sublane_rows
-        B, S = L // W, P // K
-        sym_blocks = jnp.asarray(symbols.reshape(B, WS, 128))
+        W3 = W // 3
+        B, S = L // W, P // ROWS_PER_STRIP
+        symw = jnp.asarray(pack_symbols(symbols.astype(np.uint8), W3))
         scores_strips = jnp.asarray(
-            scores.astype(np.int32).reshape(S, K, 4))
-        istate = jnp.zeros((B, WS, 128), jnp.int32)
+            (scores.astype(np.int32) + 256).reshape(S, ROWS_PER_STRIP, 4))
+        istate = jnp.zeros((B, W3 // 128, 128), jnp.int32)
         icarry = jnp.zeros(P + 1, jnp.int32)
 
         def run():
-            return _ssv_pallas_jit(
-                sym_blocks, scores_strips, istate, icarry,
-                block_width=W, rows_per_strip=K,
-                max_hit_tiles=cfg.max_hit_tiles, interpret=False)
+            return _ssv_swar_jit(
+                symw, scores_strips, istate, icarry,
+                block_words=W3, max_hit_tiles=512, interpret=False)
     else:
         from havac_tpu.ops.ssv_xla import ssv_scan_xla
 

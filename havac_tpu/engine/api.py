@@ -34,7 +34,7 @@ import numpy as np
 from havac_tpu.hits.decode import ResolvedHits, decode_dense_bitmaps, resolve_hits
 from havac_tpu.io.fasta import SequenceDatabase, load_fasta_database
 from havac_tpu.io.hmm import ProfileHmm, model_length_prefix_sums, read_hmm, read_hmm_text
-from havac_tpu.ops.common import SsvKernelConfig, round_up
+from havac_tpu.ops.common import HitTileOverflow, SsvKernelConfig, round_up
 from havac_tpu.scoring.reprojection import project_models
 
 DEFAULT_P_VALUE = 0.02  # `README.md:39`, `benchmark/benchmark.cpp:13`
@@ -104,8 +104,13 @@ class Havac:
         seed: int = 0x5A5A,
     ) -> None:
         self.p_value = float(p_value)
-        self.config = config or SsvKernelConfig()
         self.backend = _pick_backend(backend)
+        if config is None:
+            # SWAR (3 cells/lane) is the fastest TPU kernel; unpacked
+            # elsewhere (interpret mode favors the simpler kernel).
+            config = (SsvKernelConfig.swar()
+                      if self.backend == "pallas" else SsvKernelConfig())
+        self.config = config
         # Chunks must cut on kernel-block boundaries for carry chaining
         # (ssv_pallas chunk-chaining contract).
         self.chunk_symbols = round_up(max(chunk_symbols, self.config.block_width),
@@ -300,21 +305,31 @@ class Havac:
         self, codes: np.ndarray, scores: np.ndarray, carry: np.ndarray
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         if self.backend in ("pallas", "pallas_interpret"):
-            from havac_tpu.ops.ssv_pallas import HitTileOverflow, ssv_pallas
-
             cfg = self.config
             if self.backend == "pallas_interpret" and not cfg.interpret:
                 cfg = SsvKernelConfig(cfg.block_width, cfg.rows_per_strip,
-                                      cfg.max_hit_tiles, True)
+                                      cfg.max_hit_tiles, True, cfg.packing)
             while True:
                 try:
-                    rows, pos, _, carry_out = ssv_pallas(
-                        codes, scores, init_carry=carry, config=cfg)
+                    if cfg.packing == 3:
+                        from havac_tpu.ops.ssv_swar import ssv_swar
+
+                        rows, pos, _, carry_out = ssv_swar(
+                            codes, scores, init_carry=carry,
+                            block_width=cfg.block_width,
+                            max_hit_tiles=cfg.max_hit_tiles,
+                            interpret=cfg.interpret)
+                    else:
+                        from havac_tpu.ops.ssv_pallas import ssv_pallas
+
+                        rows, pos, _, carry_out = ssv_pallas(
+                            codes, scores, init_carry=carry, config=cfg)
                     return rows, pos, carry_out.astype(np.int32)
                 except HitTileOverflow:
                     self.stats.overflow_retries += 1
                     cfg = SsvKernelConfig(cfg.block_width, cfg.rows_per_strip,
-                                          cfg.max_hit_tiles * 2, cfg.interpret)
+                                          cfg.max_hit_tiles * 2, cfg.interpret,
+                                          cfg.packing)
         elif self.backend == "xla":
             import jax.numpy as jnp
 

@@ -27,20 +27,47 @@ class SsvKernelConfig:
     reported (the analog of the reference's 3.5 GiB hit-buffer bound,
     `host/HavacHwClient.hpp:94`).
     ``interpret``: run the kernel in the Pallas interpreter (CPU testing).
+    ``packing``: DP cells per 32-bit VPU lane — 1 selects the unpacked kernel
+    (ops/ssv_pallas.py), 3 the SWAR kernel (ops/ssv_swar.py, ~1.6× faster on
+    TPU v5e; requires block_width % 3072 == 0 and rows_per_strip == 30).
     """
 
     block_width: int = 32768
     rows_per_strip: int = 32
     max_hit_tiles: int = 512
     interpret: bool = False
+    packing: int = 1
 
     def __post_init__(self) -> None:
-        if self.block_width % 1024:
-            raise ValueError("block_width must be a multiple of 1024")
-        if not (1 <= self.rows_per_strip <= 32):
-            raise ValueError("rows_per_strip must be in [1, 32]")
+        if self.packing == 1:
+            if self.block_width % 1024:
+                raise ValueError("block_width must be a multiple of 1024")
+            if not (1 <= self.rows_per_strip <= 32):
+                raise ValueError("rows_per_strip must be in [1, 32]")
+        elif self.packing == 3:
+            if self.block_width % 3072:
+                raise ValueError(
+                    "block_width must be a multiple of 3072 when packing=3")
+            if self.rows_per_strip != 30:
+                raise ValueError("rows_per_strip must be 30 when packing=3")
+        else:
+            raise ValueError("packing must be 1 or 3")
+
+    @staticmethod
+    def swar(block_width: int = 258048, max_hit_tiles: int = 512,
+             interpret: bool = False) -> "SsvKernelConfig":
+        """Default geometry for the SWAR kernel (measured best on v5e)."""
+        return SsvKernelConfig(block_width=block_width, rows_per_strip=30,
+                               max_hit_tiles=max_hit_tiles,
+                               interpret=interpret, packing=3)
 
     @property
     def sublane_rows(self) -> int:
         """Rows of 128 lanes per block vector (WS)."""
         return self.block_width // 128
+
+
+class HitTileOverflow(RuntimeError):
+    """More dirty hit tiles than the kernel's output buffer holds; retry with
+    a larger ``max_hit_tiles`` (the analog of exceeding the reference's
+    3.5 GiB hit buffer, `host/HavacHwClient.hpp:94`)."""

@@ -37,7 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from havac_tpu.ops.common import SsvKernelConfig, cdiv, round_up
+from havac_tpu.ops.common import HitTileOverflow, SsvKernelConfig, cdiv, round_up
 
 
 def _shift_right_one(prev: jax.Array, col0: jax.Array) -> jax.Array:
@@ -222,11 +222,6 @@ def _ssv_pallas_jit(
     )(scores_strips, sym_blocks, istate_blocks, icarry)
     return out
 
-
-class HitTileOverflow(RuntimeError):
-    """More hit tiles than the configured buffer; retry with a larger
-    ``max_hit_tiles`` (analog of exceeding the reference's 3.5 GiB hit
-    buffer)."""
 
 
 def ssv_pallas(
