@@ -101,6 +101,7 @@ class Havac:
         config: Optional[SsvKernelConfig] = None,
         backend: str = "auto",
         chunk_symbols: int = 1 << 24,
+        chunk_rows: int = 8160,
         seed: int = 0x5A5A,
     ) -> None:
         self.p_value = float(p_value)
@@ -115,6 +116,12 @@ class Havac:
         # (ssv_pallas chunk-chaining contract).
         self.chunk_symbols = round_up(max(chunk_symbols, self.config.block_width),
                                       self.config.block_width)
+        # Row chunks cut the model stream so the kernel's SMEM carry buffer
+        # stays small for ~1M-position collections (the reference's pHMM
+        # limit, host/HavacHwClient.cpp:121-125, becomes a chunk parameter);
+        # must cut on strip boundaries for row-state chaining.
+        K = self.config.rows_per_strip
+        self.chunk_rows = round_up(max(chunk_rows, K), K)
         self.seed = seed
 
         self.models: Optional[List[ProfileHmm]] = None
@@ -260,28 +267,43 @@ class Havac:
             L = codes.shape[0]
             P = scores.shape[0]
             chunk = self.chunk_symbols
-            self._chunks_total = max(1, -(-L // chunk))
+            rchunk = self.chunk_rows
+            n_col = max(1, -(-L // chunk))
+            n_row = max(1, -(-P // rchunk))
+            self._chunks_total = n_col * n_row
 
+            # carry[j] = S[j-1][right edge of the columns swept so far];
+            # row_state = S[last swept row][*] within the current column chunk.
             carry = np.zeros(P + 1, dtype=np.int32)
             all_rows: List[np.ndarray] = []
             all_pos: List[np.ndarray] = []
 
             t_sweep = 0.0
             t_decode = 0.0
-            for ci in range(self._chunks_total):
-                if self._abort_event.is_set():
-                    with self._state_lock:
-                        self._state = HavacRunState.ABORTED
-                    return
+            done = 0
+            for ci in range(n_col):
                 lo = ci * chunk
                 hi = min(L, lo + chunk)
-                t0 = time.perf_counter()
-                rows, pos, carry = self._sweep_chunk(codes[lo:hi], scores, carry)
-                t1 = time.perf_counter()
-                all_rows.append(rows)
-                all_pos.append(pos + lo)
-                t_sweep += t1 - t0
-                self._chunks_done = ci + 1
+                row_state = None  # zeros: S[-1][*] = 0
+                next_carry = np.zeros(P + 1, dtype=np.int32)
+                for ri in range(n_row):
+                    if self._abort_event.is_set():
+                        with self._state_lock:
+                            self._state = HavacRunState.ABORTED
+                        return
+                    r0 = ri * rchunk
+                    r1 = min(P, r0 + rchunk)
+                    t0 = time.perf_counter()
+                    rows, pos, carry_out, row_state = self._sweep_chunk(
+                        codes[lo:hi], scores[r0:r1], carry[r0:r1 + 1],
+                        row_state)
+                    t_sweep += time.perf_counter() - t0
+                    next_carry[r0:r1 + 1] = carry_out
+                    all_rows.append(rows + r0)
+                    all_pos.append(pos + lo)
+                    done += 1
+                    self._chunks_done = done
+                carry = next_carry
 
             t0 = time.perf_counter()
             if all_rows:
@@ -302,8 +324,14 @@ class Havac:
                 self._state = HavacRunState.ERROR
 
     def _sweep_chunk(
-        self, codes: np.ndarray, scores: np.ndarray, carry: np.ndarray
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        self,
+        codes: np.ndarray,
+        scores: np.ndarray,
+        carry: np.ndarray,
+        row_state: Optional[np.ndarray],
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """One kernel dispatch over (row chunk × column chunk); returns
+        (hit rows, hit positions, final carry slice, final row state)."""
         if self.backend in ("pallas", "pallas_interpret"):
             cfg = self.config
             if self.backend == "pallas_interpret" and not cfg.interpret:
@@ -314,17 +342,20 @@ class Havac:
                     if cfg.packing == 3:
                         from havac_tpu.ops.ssv_swar import ssv_swar
 
-                        rows, pos, _, carry_out = ssv_swar(
-                            codes, scores, init_carry=carry,
+                        rows, pos, state_out, carry_out = ssv_swar(
+                            codes, scores, init_state=row_state,
+                            init_carry=carry,
                             block_width=cfg.block_width,
                             max_hit_tiles=cfg.max_hit_tiles,
                             interpret=cfg.interpret)
                     else:
                         from havac_tpu.ops.ssv_pallas import ssv_pallas
 
-                        rows, pos, _, carry_out = ssv_pallas(
-                            codes, scores, init_carry=carry, config=cfg)
-                    return rows, pos, carry_out.astype(np.int32)
+                        rows, pos, state_out, carry_out = ssv_pallas(
+                            codes, scores, init_state=row_state,
+                            init_carry=carry, config=cfg)
+                    return (rows, pos, carry_out.astype(np.int32),
+                            state_out.astype(np.int32))
                 except HitTileOverflow:
                     self.stats.overflow_retries += 1
                     cfg = SsvKernelConfig(cfg.block_width, cfg.rows_per_strip,
@@ -342,12 +373,15 @@ class Havac:
             scores_p[:P] = scores
             carry_p = np.zeros(P2 + 1, dtype=np.int32)
             carry_p[: P + 1] = carry
-            bitmaps, _, carry_out = ssv_scan_xla(
+            if row_state is None:
+                row_state = np.zeros(codes.shape[0], dtype=np.int32)
+            bitmaps, state_out, carry_out = ssv_scan_xla(
                 jnp.asarray(codes), jnp.asarray(scores_p),
-                jnp.zeros(codes.shape[0], jnp.int32), jnp.asarray(carry_p),
-                rows_per_strip=K)
+                jnp.asarray(row_state.astype(np.int32)),
+                jnp.asarray(carry_p), rows_per_strip=K)
             rows, pos = decode_dense_bitmaps(np.asarray(bitmaps), K)
             keep = rows < P
-            return rows[keep], pos[keep], np.asarray(carry_out)[: P + 1]
+            return (rows[keep], pos[keep], np.asarray(carry_out)[: P + 1],
+                    np.asarray(state_out))
         else:
             raise HavacUsageError(f"unknown backend {self.backend!r}")

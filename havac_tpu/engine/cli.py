@@ -1,0 +1,132 @@
+"""Command-line interface: search and benchmark.
+
+The TPU-native replacement for the reference's CLI executables —
+`benchmark/benchmark.cpp` (phase-timed end-to-end run) and the ad-hoc test
+mains. One binary, two subcommands:
+
+  python -m havac_tpu.engine.cli search --hmm models.hmm --fasta db.fasta \
+      --pvalue 0.02 --out hits.tsv
+  python -m havac_tpu.engine.cli benchmark --hmm models.hmm --fasta db.fasta
+
+``search`` writes a TSV of resolved hits (sequence name, position, model
+name/accession, model position), mirroring `HavacHit` fields
+(`host/Havac.hpp:28-40`). ``benchmark`` prints the four reference phase
+timings (construction / data load / sweep / hit retrieval,
+`benchmark/benchmark.cpp:43-71`) plus GCUPS.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--hmm", required=True, help="HMMER3 .hmm model collection")
+    p.add_argument("--fasta", required=True, help="multi-FASTA sequence database")
+    p.add_argument("--pvalue", type=float, default=0.02,
+                   help="hit p-value threshold (default 0.02, README.md:39)")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "pallas", "pallas_interpret", "xla"],
+                   help="compute backend (auto: Pallas on TPU, XLA elsewhere)")
+    p.add_argument("--chunk-symbols", type=int, default=1 << 24,
+                   help="sequence positions per kernel dispatch")
+    p.add_argument("--chunk-rows", type=int, default=8160,
+                   help="model rows per kernel dispatch")
+
+
+def _build_engine(args):
+    from havac_tpu.engine.api import Havac
+
+    return Havac(p_value=args.pvalue, backend=args.backend,
+                 chunk_symbols=args.chunk_symbols, chunk_rows=args.chunk_rows)
+
+
+def cmd_search(args) -> int:
+    engine = _build_engine(args)
+    engine.load_phmm(args.hmm)
+    engine.load_sequence(args.fasta)
+    engine.run()
+    hits = engine.hits()
+
+    out = open(args.out, "w") if args.out != "-" else sys.stdout
+    try:
+        out.write("#sequence\tseq_position\tmodel\tmodel_position\n")
+        names = engine.database.names
+        models = engine.models
+        for si, sp, mi, mp in hits.as_tuples():
+            model = models[mi]
+            label = model.accession or model.name
+            out.write(f"{names[si]}\t{sp}\t{label}\t{mp}\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    print(f"{len(hits)} hits "
+          f"({engine.stats.num_raw_hits} raw, "
+          f"{engine.stats.gcups:.1f} GCUPS sweep)", file=sys.stderr)
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    t0 = time.perf_counter()
+    engine = _build_engine(args)
+    t_build = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    engine.load_phmm(args.hmm)
+    engine.load_sequence(args.fasta)
+    t_load = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    engine.run()
+    t_run = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    hits = engine.hits()
+    t_hits = time.perf_counter() - t0
+
+    report = {
+        "phase_seconds": {
+            "construction": round(t_build, 4),
+            "data_load": round(t_load, 4),
+            "sweep": round(t_run, 4),
+            "hit_retrieval": round(t_hits, 4),
+            "total": round(t_build + t_load + t_run + t_hits, 4),
+        },
+        "cells": engine.stats.cells,
+        "sweep_gcups": round(engine.stats.gcups, 2),
+        "end_to_end_gcups": round(
+            engine.stats.cells / max(t_build + t_load + t_run + t_hits, 1e-9)
+            / 1e9, 2),
+        "num_hits": len(hits),
+        "num_raw_hits": engine.stats.num_raw_hits,
+        "num_chunks": engine.stats.num_chunks,
+        "backend": engine.backend,
+    }
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="havac-tpu", description="TPU-native SSV homology search")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_search = sub.add_parser("search", help="scan a FASTA db against models")
+    _add_common(p_search)
+    p_search.add_argument("--out", default="-",
+                          help="output TSV path (default stdout)")
+    p_search.set_defaults(fn=cmd_search)
+
+    p_bench = sub.add_parser("benchmark", help="phase-timed end-to-end run")
+    _add_common(p_bench)
+    p_bench.set_defaults(fn=cmd_benchmark)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

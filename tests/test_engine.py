@@ -150,3 +150,35 @@ def test_hit_tile_overflow_retry():
     result, _ = ssv_reference(engine.database.codes, engine.scores)
     assert np.array_equal(rows, result.hit_rows)
     assert np.array_equal(pos, result.hit_positions)
+
+
+def test_row_chunked_run_is_exact():
+    """Model collections taller than chunk_rows are swept in row chunks
+    chained by final_row_state; hits must match the single-dispatch run."""
+    models, records = generate_planted_fixture(
+        seed=17, model_length=30, sequence_length=3000, num_models=4)
+    db = load_fasta_database(fasta_text(records), pad_multiple=CFG.block_width,
+                             is_text=True)
+    chunked = Havac(p_value=P_VALUE, config=CFG, backend="xla",
+                    chunk_rows=40)  # 120 total rows -> 3 row chunks
+    chunked.load_phmm(models).load_sequence(db).run()
+    whole = Havac(p_value=P_VALUE, config=CFG, backend="xla")
+    whole.load_phmm(models).load_sequence(db).run()
+    assert chunked.stats.num_chunks > whole.stats.num_chunks
+    assert_hits_equal(chunked.hits(), whole.hits())
+    assert_hits_equal(chunked.hits(), oracle_resolved(whole))
+
+
+def test_row_and_column_chunked_run_is_exact():
+    """Both axes chunked at once: the 2D carry/row-state bookkeeping."""
+    models, records = generate_planted_fixture(
+        seed=19, model_length=25, sequence_length=6000, num_models=5)
+    db = load_fasta_database(fasta_text(records), pad_multiple=CFG.block_width,
+                             is_text=True)
+    grid = Havac(p_value=P_VALUE, config=CFG, backend="pallas_interpret",
+                 chunk_symbols=2048, chunk_rows=48)
+    grid.load_phmm(models).load_sequence(db).run()
+    whole = Havac(p_value=P_VALUE, config=CFG, backend="xla")
+    whole.load_phmm(models).load_sequence(db).run()
+    assert grid.stats.num_chunks >= 6
+    assert_hits_equal(grid.hits(), whole.hits())
