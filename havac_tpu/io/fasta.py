@@ -190,7 +190,23 @@ def load_fasta_database(
     pad_multiple: int = 1,
     seed: int = 0x5A5A,
     is_text: bool = False,
+    native: str = "auto",
 ) -> SequenceDatabase:
+    """Load + encode a database. ``native``: "auto" uses the C++ parser
+    (havac_tpu/native) when built, "never"/"always" force a path; both
+    produce byte-identical databases."""
+    if isinstance(path_or_text, str) and not is_text and native != "never":
+        from havac_tpu import native as native_mod
+
+        if native_mod.available():
+            names, lengths, starts, codes = native_mod.read_fasta_encoded(
+                path_or_text, pad_multiple=pad_multiple, seed=seed)
+            return SequenceDatabase(codes=codes, starts=starts,
+                                    lengths=lengths, names=names, seed=seed)
+        if native == "always":
+            raise RuntimeError(
+                "native parser requested but libhavac_native.so is not "
+                "built; run make -C havac_tpu/native")
     if isinstance(path_or_text, tuple):
         names, seqs = path_or_text
     elif is_text:

@@ -223,8 +223,20 @@ def read_hmm_text(text: str, path: str = "<string>") -> List[ProfileHmm]:
     return models
 
 
-def read_hmm(path: str) -> List[ProfileHmm]:
-    """Parse every model in a HMMER3 text ``.hmm`` file."""
+def read_hmm(path: str, native: str = "auto") -> List[ProfileHmm]:
+    """Parse every model in a HMMER3 text ``.hmm`` file.
+
+    ``native``: "auto" uses the C++ parser (havac_tpu/native) when built,
+    "never"/"always" force a path; both produce identical models."""
+    if native != "never":
+        from havac_tpu import native as native_mod
+
+        if native_mod.available():
+            return native_mod.read_hmm_native(path)
+        if native == "always":
+            raise RuntimeError(
+                "native parser requested but libhavac_native.so is not "
+                "built; run make -C havac_tpu/native")
     with open(path, "r") as f:
         return read_hmm_text(f.read(), path)
 

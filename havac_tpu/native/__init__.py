@@ -1,0 +1,153 @@
+"""ctypes bindings for the native ingestion core (libhavac_native.so).
+
+The native library mirrors the reference's native C I/O layer (FastaVector +
+P7HmmReader, SURVEY.md §2.4). Build with ``make -C havac_tpu/native`` (or
+:func:`build`); everything degrades gracefully to the pure-Python parsers in
+``havac_tpu.io`` when the shared object is absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libhavac_native.so")
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def build(quiet: bool = True) -> bool:
+    """Compile the shared library in place; returns True on success."""
+    try:
+        res = subprocess.run(
+            ["make", "-C", _DIR],
+            capture_output=quiet, timeout=300)
+        return res.returncode == 0 and os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.exists(_SO):
+        _load_failed = True
+        return None
+    lib = ctypes.CDLL(_SO)
+    c = ctypes.c_char_p
+    i64 = ctypes.c_int64
+    p = ctypes.c_void_p
+    lib.hv_fasta_open.restype = p
+    lib.hv_fasta_open.argtypes = [c]
+    lib.hv_fasta_error.restype = c
+    lib.hv_fasta_error.argtypes = [p]
+    lib.hv_fasta_num.restype = i64
+    lib.hv_fasta_num.argtypes = [p]
+    lib.hv_fasta_lengths.argtypes = [p, ctypes.POINTER(i64)]
+    lib.hv_fasta_name.restype = c
+    lib.hv_fasta_name.argtypes = [p, i64]
+    lib.hv_fasta_encode.argtypes = [p, ctypes.POINTER(ctypes.c_uint8), i64,
+                                    ctypes.c_uint64]
+    lib.hv_fasta_close.argtypes = [p]
+    lib.hv_hmm_open.restype = p
+    lib.hv_hmm_open.argtypes = [c]
+    lib.hv_hmm_error.restype = c
+    lib.hv_hmm_error.argtypes = [p]
+    lib.hv_hmm_count.restype = i64
+    lib.hv_hmm_count.argtypes = [p]
+    for fn in ("hv_hmm_leng", "hv_hmm_maxl"):
+        getattr(lib, fn).restype = i64
+        getattr(lib, fn).argtypes = [p, i64]
+    for fn in ("hv_hmm_mu", "hv_hmm_lambda"):
+        getattr(lib, fn).restype = ctypes.c_double
+        getattr(lib, fn).argtypes = [p, i64]
+    lib.hv_hmm_card.restype = ctypes.c_int
+    lib.hv_hmm_card.argtypes = [p, i64]
+    for fn in ("hv_hmm_name", "hv_hmm_acc", "hv_hmm_desc", "hv_hmm_alph"):
+        getattr(lib, fn).restype = c
+        getattr(lib, fn).argtypes = [p, i64]
+    lib.hv_hmm_scores.argtypes = [p, i64, ctypes.POINTER(ctypes.c_float)]
+    lib.hv_hmm_close.argtypes = [p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeParseError(ValueError):
+    pass
+
+
+def read_fasta_encoded(
+    path: str, pad_multiple: int = 1, seed: int = 0x5A5A
+) -> Tuple[List[str], np.ndarray, np.ndarray, np.ndarray]:
+    """Parse + encode a FASTA file natively.
+
+    Returns (names, lengths int64 (n,), starts int64 (n+1,), codes uint8
+    (padded_len,)) — the exact fields of io.fasta.SequenceDatabase.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built; run make -C havac_tpu/native")
+    h = lib.hv_fasta_open(path.encode())
+    try:
+        err = lib.hv_fasta_error(h)
+        if err:
+            raise NativeParseError(err.decode())
+        n = lib.hv_fasta_num(h)
+        lengths = np.empty(n, dtype=np.int64)
+        lib.hv_fasta_lengths(h, lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        names = [lib.hv_fasta_name(h, i).decode() for i in range(n)]
+        starts = np.concatenate([[0], np.cumsum(lengths + 1)])
+        concat_len = int(starts[-1])
+        padded_len = -(-max(concat_len, 1) // pad_multiple) * pad_multiple
+        codes = np.empty(padded_len, dtype=np.uint8)
+        lib.hv_fasta_encode(
+            h, codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            padded_len, seed & 0xFFFFFFFFFFFFFFFF)
+        return names, lengths, starts, codes
+    finally:
+        lib.hv_fasta_close(h)
+
+
+def read_hmm_native(path: str):
+    """Parse a HMMER3 .hmm file natively → list[io.hmm.ProfileHmm]."""
+    from havac_tpu.io.hmm import ProfileHmm
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built; run make -C havac_tpu/native")
+    h = lib.hv_hmm_open(path.encode())
+    try:
+        err = lib.hv_hmm_error(h)
+        if err:
+            raise NativeParseError(err.decode())
+        models = []
+        for i in range(lib.hv_hmm_count(h)):
+            leng = lib.hv_hmm_leng(h, i)
+            card = lib.hv_hmm_card(h, i)
+            scores = np.empty(leng * card, dtype=np.float32)
+            lib.hv_hmm_scores(
+                h, i, scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            models.append(ProfileHmm(
+                name=lib.hv_hmm_name(h, i).decode(),
+                accession=lib.hv_hmm_acc(h, i).decode(),
+                description=lib.hv_hmm_desc(h, i).decode(),
+                model_length=int(leng),
+                max_length=int(lib.hv_hmm_maxl(h, i)),
+                alphabet=lib.hv_hmm_alph(h, i).decode(),
+                msv_mu=lib.hv_hmm_mu(h, i),
+                msv_lambda=lib.hv_hmm_lambda(h, i),
+                match_scores=scores.reshape(leng, card),
+            ))
+        return models
+    finally:
+        lib.hv_hmm_close(h)

@@ -1,0 +1,339 @@
+// Native ingestion core: multi-FASTA and HMMER3 .hmm parsing, C ABI.
+//
+// The TPU-native equivalent of the reference's vendored C submodules —
+// FastaVector (FASTA parse + global/local coordinate support) and P7HmmReader
+// (HMMER3 text parser), see SURVEY.md §2.4 — plus the 2-bit encode of
+// SequencePreprocessor (host/sequence/SequencePreprocessor.cpp:37-85) with
+// deterministic, position-keyed ambiguity resolution (SplitMix64, matching
+// havac_tpu/utils/prng.py bit-for-bit so native and Python paths agree).
+//
+// Exposed as a C ABI consumed via ctypes (havac_tpu/native/__init__.py);
+// semantics mirror the pure-Python parsers in havac_tpu/io/ exactly — the
+// test suite asserts byte-identical outputs on both paths.
+
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- utilities
+
+uint64_t splitmix(uint64_t v, uint64_t seed) {
+  uint64_t z = v + seed * 0x9E3779B97F4A7C15ULL;
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+  return z ^ (z >> 31);
+}
+
+std::string strip(const std::string& s) {
+  size_t a = 0, b = s.size();
+  while (a < b && std::isspace(static_cast<unsigned char>(s[a]))) a++;
+  while (b > a && std::isspace(static_cast<unsigned char>(s[b - 1]))) b--;
+  return s.substr(a, b - a);
+}
+
+bool read_file(const char* path, std::string* out, std::string* err) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) {
+    *err = std::string("cannot open ") + path;
+    return false;
+  }
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  out->resize(static_cast<size_t>(n));
+  size_t got = n ? std::fread(&(*out)[0], 1, static_cast<size_t>(n), f) : 0;
+  std::fclose(f);
+  if (got != static_cast<size_t>(n)) {
+    *err = std::string("short read on ") + path;
+    return false;
+  }
+  return true;
+}
+
+std::vector<std::string> split_lines(const std::string& text) {
+  std::vector<std::string> lines;
+  size_t start = 0;
+  for (size_t i = 0; i <= text.size(); i++) {
+    if (i == text.size() || text[i] == '\n') {
+      lines.emplace_back(text.substr(start, i - start));
+      start = i + 1;
+    }
+  }
+  return lines;
+}
+
+// Symbol classes, identical to havac_tpu/io/fasta.py:_ENCODE_TABLE:
+// 0-3 direct (a c g t/u), 4-9 two-way IUPAC (r y s w k m), 10 uniform-random.
+struct EncodeTable {
+  uint8_t cls[256];
+  EncodeTable() {
+    for (int i = 0; i < 256; i++) cls[i] = 10;
+    auto set = [&](char c, uint8_t v) {
+      cls[static_cast<unsigned char>(std::tolower(c))] = v;
+      cls[static_cast<unsigned char>(std::toupper(c))] = v;
+    };
+    set('a', 0); set('c', 1); set('g', 2); set('t', 3); set('u', 3);
+    const char* two = "ryswkm";
+    for (int i = 0; i < 6; i++) set(two[i], static_cast<uint8_t>(4 + i));
+  }
+};
+const EncodeTable kEncode;
+const uint8_t kTwoWay[6][2] = {{0, 2}, {1, 3}, {1, 2}, {0, 3}, {2, 3}, {0, 1}};
+
+// ------------------------------------------------------------------- FASTA
+
+struct Fasta {
+  std::vector<std::string> names;
+  std::vector<int64_t> lengths;
+  std::string data;  // all sequences concatenated, no separators
+  std::vector<int64_t> offsets;  // per-seq offset into data
+  std::string err;
+};
+
+Fasta* fasta_parse(const char* path) {
+  Fasta* fa = new Fasta();
+  std::string text;
+  if (!read_file(path, &text, &fa->err)) return fa;
+  bool have_record = false;
+  for (const std::string& raw : split_lines(text)) {
+    std::string line = strip(raw);
+    if (line.empty()) continue;
+    if (line[0] == '>') {
+      std::string rest = line.substr(1);
+      size_t sp = rest.find_first_of(" \t");
+      fa->names.push_back(sp == std::string::npos ? rest : rest.substr(0, sp));
+      fa->offsets.push_back(static_cast<int64_t>(fa->data.size()));
+      fa->lengths.push_back(0);
+      have_record = true;
+    } else {
+      if (!have_record) {
+        fa->err = std::string(path) + ": FASTA data before first '>' header";
+        return fa;
+      }
+      fa->data += line;
+      fa->lengths.back() += static_cast<int64_t>(line.size());
+    }
+  }
+  if (!have_record) fa->err = std::string(path) + ": no FASTA records found";
+  return fa;
+}
+
+// --------------------------------------------------------------------- HMM
+
+struct Model {
+  std::string name, acc, desc, alph;
+  int64_t leng = -1, maxl = -1;
+  double mu = 0, lambda = 0;
+  int card = 4;
+  bool has_stats = false;
+  std::vector<float> scores;  // leng * card, row-major, +inf for '*'
+};
+
+struct Hmm {
+  std::vector<Model> models;
+  std::string err;
+};
+
+int alphabet_cardinality(const std::string& alph) {
+  if (alph == "dna" || alph == "rna") return 4;
+  if (alph == "amino") return 20;
+  return -1;
+}
+
+bool parse_model(const std::vector<std::string>& lines, size_t* idx,
+                 const char* path, Model* m, std::string* err) {
+  size_t i = *idx;
+  std::string header = strip(lines[i]);
+  if (header.rfind("HMMER3", 0) != 0) {
+    *err = std::string(path) + ": model does not start with 'HMMER3'";
+    return false;
+  }
+  i++;
+  while (i < lines.size()) {
+    std::string stripped = strip(lines[i]);
+    if (stripped.rfind("HMM", 0) == 0 && stripped.rfind("HMMER", 0) != 0) break;
+    size_t sp = stripped.find_first_of(" \t");
+    std::string key = sp == std::string::npos ? stripped : stripped.substr(0, sp);
+    std::string value =
+        sp == std::string::npos ? "" : strip(stripped.substr(sp + 1));
+    if (key == "NAME") m->name = value;
+    else if (key == "ACC") m->acc = value;
+    else if (key == "DESC") m->desc = value;
+    else if (key == "LENG") m->leng = std::atoll(value.c_str());
+    else if (key == "MAXL") m->maxl = std::atoll(value.c_str());
+    else if (key == "ALPH") {
+      m->alph = value;
+      for (auto& c : m->alph) c = std::tolower(static_cast<unsigned char>(c));
+    } else if (key == "STATS") {
+      char kind[32] = {0}, sub[32] = {0};
+      double mu, lam;
+      if (std::sscanf(value.c_str(), "%31s %31s %lf %lf", kind, sub, &mu,
+                      &lam) == 4 &&
+          std::strcmp(kind, "LOCAL") == 0 && std::strcmp(sub, "MSV") == 0) {
+        m->mu = mu;
+        m->lambda = lam;
+        m->has_stats = true;
+      }
+    }
+    i++;
+  }
+  if (i >= lines.size()) {
+    *err = std::string(path) + ": model '" + m->name + "' has no HMM section";
+    return false;
+  }
+  m->card = alphabet_cardinality(m->alph);
+  if (m->leng <= 0 || m->alph.empty() || m->card < 0 || !m->has_stats) {
+    *err = std::string(path) + ": model '" + m->name +
+           "' missing LENG/ALPH/STATS LOCAL MSV";
+    return false;
+  }
+  if (m->maxl <= 0) m->maxl = 4 * m->leng;
+
+  i += 2;  // "HMM A C G T" header + transition header
+  if (i < lines.size() && strip(lines[i]).rfind("COMPO", 0) == 0) {
+    i += 3;
+  } else {
+    i += 2;
+  }
+
+  m->scores.resize(static_cast<size_t>(m->leng) * m->card);
+  for (int64_t pos = 0; pos < m->leng; pos++) {
+    if (i >= lines.size()) {
+      *err = std::string(path) + ": model '" + m->name + "' truncated";
+      return false;
+    }
+    const char* p = lines[i].c_str();
+    char* end = nullptr;
+    long node = std::strtol(p, &end, 10);
+    if (end == p || node != pos + 1) {
+      *err = std::string(path) + ": model '" + m->name + "': bad node index";
+      return false;
+    }
+    p = end;
+    for (int a = 0; a < m->card; a++) {
+      while (*p && std::isspace(static_cast<unsigned char>(*p))) p++;
+      if (*p == '*' ) {
+        m->scores[pos * m->card + a] = INFINITY;
+        p++;
+      } else {
+        double v = std::strtod(p, &end);
+        if (end == p) {
+          *err = std::string(path) + ": model '" + m->name +
+                 "': bad score token";
+          return false;
+        }
+        m->scores[pos * m->card + a] = static_cast<float>(v);
+        p = end;
+      }
+    }
+    i += 3;  // skip insert-emission + transition lines
+  }
+  while (i < lines.size() && strip(lines[i]) != "//") i++;
+  if (i >= lines.size()) {
+    *err = std::string(path) + ": model '" + m->name + "' missing '//'";
+    return false;
+  }
+  *idx = i + 1;
+  return true;
+}
+
+Hmm* hmm_parse(const char* path) {
+  Hmm* h = new Hmm();
+  std::string text;
+  if (!read_file(path, &text, &h->err)) return h;
+  std::vector<std::string> lines = split_lines(text);
+  size_t i = 0;
+  while (i < lines.size()) {
+    if (strip(lines[i]).empty()) {
+      i++;
+      continue;
+    }
+    Model m;
+    if (!parse_model(lines, &i, path, &m, &h->err)) return h;
+    h->models.push_back(std::move(m));
+  }
+  if (h->models.empty() && h->err.empty())
+    h->err = std::string(path) + ": no models found";
+  return h;
+}
+
+}  // namespace
+
+// ------------------------------------------------------------------- C ABI
+
+extern "C" {
+
+void* hv_fasta_open(const char* path) { return fasta_parse(path); }
+const char* hv_fasta_error(void* h) { return static_cast<Fasta*>(h)->err.c_str(); }
+int64_t hv_fasta_num(void* h) {
+  return static_cast<int64_t>(static_cast<Fasta*>(h)->names.size());
+}
+void hv_fasta_lengths(void* h, int64_t* out) {
+  Fasta* fa = static_cast<Fasta*>(h);
+  std::memcpy(out, fa->lengths.data(), fa->lengths.size() * sizeof(int64_t));
+}
+const char* hv_fasta_name(void* h, int64_t i) {
+  return static_cast<Fasta*>(h)->names[static_cast<size_t>(i)].c_str();
+}
+
+// Encode the concatenated database into `out` (padded_len bytes):
+// seq0, SEP, seq1, SEP, ..., PAD — 2-bit codes with deterministic
+// position-keyed randomization of separators/pads/ambiguity codes
+// (SequencePreprocessor.cpp:37-85 semantics, made stateless).
+void hv_fasta_encode(void* h, uint8_t* out, int64_t padded_len, uint64_t seed) {
+  Fasta* fa = static_cast<Fasta*>(h);
+  int64_t gp = 0;
+  auto emit = [&](uint8_t cls) {
+    uint8_t code;
+    if (cls < 4) {
+      code = cls;
+    } else if (cls < 10) {
+      uint64_t hbits = splitmix(static_cast<uint64_t>(gp), seed);
+      code = kTwoWay[cls - 4][hbits & 1ULL];
+    } else {
+      uint64_t hbits = splitmix(static_cast<uint64_t>(gp), seed);
+      code = static_cast<uint8_t>(hbits & 3ULL);
+    }
+    out[gp++] = code;
+  };
+  for (size_t s = 0; s < fa->names.size(); s++) {
+    const char* p = fa->data.data() + fa->offsets[s];
+    for (int64_t k = 0; k < fa->lengths[s]; k++)
+      emit(kEncode.cls[static_cast<unsigned char>(p[k])]);
+    emit(10);  // separator
+  }
+  while (gp < padded_len) emit(10);  // pad
+}
+void hv_fasta_close(void* h) { delete static_cast<Fasta*>(h); }
+
+void* hv_hmm_open(const char* path) { return hmm_parse(path); }
+const char* hv_hmm_error(void* h) { return static_cast<Hmm*>(h)->err.c_str(); }
+int64_t hv_hmm_count(void* h) {
+  return static_cast<int64_t>(static_cast<Hmm*>(h)->models.size());
+}
+static Model* model_at(void* h, int64_t i) {
+  return &static_cast<Hmm*>(h)->models[static_cast<size_t>(i)];
+}
+int64_t hv_hmm_leng(void* h, int64_t i) { return model_at(h, i)->leng; }
+int64_t hv_hmm_maxl(void* h, int64_t i) { return model_at(h, i)->maxl; }
+double hv_hmm_mu(void* h, int64_t i) { return model_at(h, i)->mu; }
+double hv_hmm_lambda(void* h, int64_t i) { return model_at(h, i)->lambda; }
+int hv_hmm_card(void* h, int64_t i) { return model_at(h, i)->card; }
+const char* hv_hmm_name(void* h, int64_t i) { return model_at(h, i)->name.c_str(); }
+const char* hv_hmm_acc(void* h, int64_t i) { return model_at(h, i)->acc.c_str(); }
+const char* hv_hmm_desc(void* h, int64_t i) { return model_at(h, i)->desc.c_str(); }
+const char* hv_hmm_alph(void* h, int64_t i) { return model_at(h, i)->alph.c_str(); }
+void hv_hmm_scores(void* h, int64_t i, float* out) {
+  Model* m = model_at(h, i);
+  std::memcpy(out, m->scores.data(), m->scores.size() * sizeof(float));
+}
+void hv_hmm_close(void* h) { delete static_cast<Hmm*>(h); }
+
+}  // extern "C"
