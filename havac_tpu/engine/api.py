@@ -25,6 +25,7 @@ TPU-native redesign notes:
 from __future__ import annotations
 
 import enum
+import os
 import threading
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple, Union
@@ -103,6 +104,7 @@ class Havac:
         chunk_symbols: int = 1 << 24,
         chunk_rows: int = 8160,
         seed: int = 0x5A5A,
+        checkpoint_path: Optional[str] = None,
     ) -> None:
         self.p_value = float(p_value)
         self.backend = _pick_backend(backend)
@@ -123,6 +125,12 @@ class Havac:
         K = self.config.rows_per_strip
         self.chunk_rows = round_up(max(chunk_rows, K), K)
         self.seed = seed
+        # Shard-level resume (new scope vs the reference's one-shot runs,
+        # SURVEY.md §5): after every completed column chunk the run state
+        # (carry column + accumulated hits) is persisted; an interrupted run
+        # restarted with the same inputs continues from the last chunk.
+        self.checkpoint_path = checkpoint_path
+        self.resumed_chunks = 0
 
         self.models: Optional[List[ProfileHmm]] = None
         self.scores: Optional[np.ndarray] = None  # (P, 4) int8 concatenated
@@ -278,10 +286,21 @@ class Havac:
             all_rows: List[np.ndarray] = []
             all_pos: List[np.ndarray] = []
 
+            start_ci = 0
+            fingerprint = self._fingerprint(L, P, chunk, rchunk)
+            if self.checkpoint_path:
+                loaded = self._load_checkpoint(fingerprint)
+                if loaded is not None:
+                    start_ci, carry, rows0, pos0 = loaded
+                    all_rows.append(rows0)
+                    all_pos.append(pos0)
+                    self.resumed_chunks = start_ci * n_row
+                    self._chunks_done = self.resumed_chunks
+
             t_sweep = 0.0
             t_decode = 0.0
-            done = 0
-            for ci in range(n_col):
+            done = start_ci * n_row
+            for ci in range(start_ci, n_col):
                 lo = ci * chunk
                 hi = min(L, lo + chunk)
                 row_state = None  # zeros: S[-1][*] = 0
@@ -304,6 +323,9 @@ class Havac:
                     done += 1
                     self._chunks_done = done
                 carry = next_carry
+                if self.checkpoint_path and ci + 1 < n_col:
+                    self._save_checkpoint(fingerprint, ci + 1, carry,
+                                          all_rows, all_pos)
 
             t0 = time.perf_counter()
             if all_rows:
@@ -316,12 +338,47 @@ class Havac:
             self.stats.sweep_seconds = t_sweep
             self.stats.decode_seconds = t_decode
             self.stats.num_raw_hits = int(self._hit_rows.shape[0])
+            if self.checkpoint_path and os.path.exists(self.checkpoint_path):
+                os.remove(self.checkpoint_path)
             with self._state_lock:
                 self._state = HavacRunState.COMPLETED
         except BaseException as exc:  # surfaced on wait()/hits()
             self._error = exc
             with self._state_lock:
                 self._state = HavacRunState.ERROR
+
+    def _fingerprint(self, L: int, P: int, chunk: int, rchunk: int) -> int:
+        import zlib
+
+        h = zlib.crc32(self.scores.tobytes())
+        h = zlib.crc32(self.database.codes[: 1 << 16].tobytes(), h)
+        h = zlib.crc32(
+            np.asarray([L, P, chunk, rchunk, self.database.padded_length],
+                       dtype=np.int64).tobytes(), h)
+        return h
+
+    def _load_checkpoint(self, fingerprint: int):
+        try:
+            with np.load(self.checkpoint_path) as ck:
+                if int(ck["fingerprint"]) != fingerprint:
+                    return None
+                return (int(ck["next_ci"]), ck["carry"].astype(np.int32),
+                        ck["hit_rows"], ck["hit_positions"])
+        except (FileNotFoundError, KeyError, OSError, ValueError):
+            return None
+
+    def _save_checkpoint(self, fingerprint: int, next_ci: int,
+                         carry: np.ndarray, all_rows, all_pos) -> None:
+        rows = (np.concatenate(all_rows) if all_rows
+                else np.empty(0, dtype=np.int64))
+        pos = (np.concatenate(all_pos) if all_pos
+               else np.empty(0, dtype=np.int64))
+        tmp = self.checkpoint_path + ".tmp"
+        np.savez(tmp, fingerprint=np.int64(fingerprint),
+                 next_ci=np.int64(next_ci), carry=carry,
+                 hit_rows=rows, hit_positions=pos)
+        os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
+                   self.checkpoint_path)
 
     def _sweep_chunk(
         self,

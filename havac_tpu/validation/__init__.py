@@ -1,0 +1,27 @@
+from havac_tpu.validation.nhmmer import (
+    ContainmentReport,
+    NhmmerWindow,
+    compare_containment,
+    engine_hits_for_comparison,
+    load_tblout,
+    parse_tblout,
+)
+from havac_tpu.validation.quantization import (
+    QuantizationReport,
+    diagonal_scores_float,
+    diagonal_scores_int8,
+    quantization_report,
+)
+
+__all__ = [
+    "ContainmentReport",
+    "NhmmerWindow",
+    "QuantizationReport",
+    "compare_containment",
+    "diagonal_scores_float",
+    "diagonal_scores_int8",
+    "engine_hits_for_comparison",
+    "load_tblout",
+    "parse_tblout",
+    "quantization_report",
+]

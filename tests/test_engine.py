@@ -182,3 +182,65 @@ def test_row_and_column_chunked_run_is_exact():
     whole.load_phmm(models).load_sequence(db).run()
     assert grid.stats.num_chunks >= 6
     assert_hits_equal(grid.hits(), whole.hits())
+
+
+def test_checkpoint_resume_after_abort(tmp_path):
+    """An aborted run restarted with the same inputs resumes from the last
+    completed column chunk and produces identical hits."""
+    ckpt = str(tmp_path / "run.ckpt.npz")
+    models, records = generate_planted_fixture(
+        seed=31, model_length=32, sequence_length=16000, num_models=2)
+    db = load_fasta_database(fasta_text(records), pad_multiple=CFG.block_width,
+                             is_text=True)
+
+    def make():
+        e = Havac(p_value=P_VALUE, config=CFG, backend="xla",
+                  chunk_symbols=1024, checkpoint_path=ckpt)
+        return e.load_phmm(models).load_sequence(db)
+
+    import os as _os
+    import time as _time
+
+    # Interrupt a run mid-flight (poll until a checkpoint appears).
+    first = make()
+    first.run_async()
+    for _ in range(3000):
+        if _os.path.exists(ckpt):
+            break
+        _time.sleep(0.005)
+    first.abort()
+    first.wait()
+
+    if _os.path.exists(ckpt):  # abort landed mid-run: resume path
+        second = make()
+        second.run()
+        assert second.resumed_chunks > 0
+        assert not _os.path.exists(ckpt)  # cleaned up on completion
+    else:  # run drained before abort: still verify a fresh run
+        second = make()
+        second.run()
+
+    whole = Havac(p_value=P_VALUE, config=CFG, backend="xla")
+    whole.load_phmm(models).load_sequence(db).run()
+    assert_hits_equal(second.hits(), whole.hits())
+
+
+def test_checkpoint_rejected_on_input_change(tmp_path):
+    """A checkpoint from different inputs must be ignored (fingerprint)."""
+    ckpt = str(tmp_path / "run.ckpt.npz")
+    models, records = generate_planted_fixture(
+        seed=33, model_length=24, sequence_length=6000, num_models=1)
+    db = load_fasta_database(fasta_text(records), pad_multiple=CFG.block_width,
+                             is_text=True)
+    e1 = Havac(p_value=P_VALUE, config=CFG, backend="xla",
+               chunk_symbols=1024, checkpoint_path=ckpt)
+    e1.load_phmm(models).load_sequence(db)
+    # Fake a stale checkpoint with a wrong fingerprint.
+    np.savez(ckpt[:-4], fingerprint=np.int64(12345), next_ci=np.int64(3),
+             carry=np.zeros(25, np.int32),
+             hit_rows=np.zeros(5, np.int64), hit_positions=np.zeros(5, np.int64))
+    e1.run()
+    assert e1.resumed_chunks == 0
+    whole = Havac(p_value=P_VALUE, config=CFG, backend="xla")
+    whole.load_phmm(models).load_sequence(db).run()
+    assert_hits_equal(e1.hits(), whole.hits())
