@@ -105,6 +105,10 @@ class Havac:
         chunk_rows: int = 8160,
         seed: int = 0x5A5A,
         checkpoint_path: Optional[str] = None,
+        mesh=None,
+        mesh_axis: str = "seq",
+        dist_rows_per_step: int = 128,
+        dist_hit_capacity: int = 1 << 16,
     ) -> None:
         self.p_value = float(p_value)
         self.backend = _pick_backend(backend)
@@ -131,6 +135,13 @@ class Havac:
         # restarted with the same inputs continues from the last chunk.
         self.checkpoint_path = checkpoint_path
         self.resumed_chunks = 0
+        # Multi-chip path (BASELINE config 3): sequence-sharded wavefront
+        # pipeline over a jax Mesh, exact across shard seams. Column chunking
+        # and checkpointing don't apply (the database lives sharded in HBM).
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self.dist_rows_per_step = dist_rows_per_step
+        self.dist_hit_capacity = dist_hit_capacity
 
         self.models: Optional[List[ProfileHmm]] = None
         self.scores: Optional[np.ndarray] = None  # (P, 4) int8 concatenated
@@ -263,6 +274,9 @@ class Havac:
     def _run_loop(self) -> None:
         import time
 
+        if self.mesh is not None:
+            self._run_loop_distributed()
+            return
         try:
             scores = self.scores
             codes = self.database.codes
@@ -343,6 +357,58 @@ class Havac:
             with self._state_lock:
                 self._state = HavacRunState.COMPLETED
         except BaseException as exc:  # surfaced on wait()/hits()
+            self._error = exc
+            with self._state_lock:
+                self._state = HavacRunState.ERROR
+
+    def _run_loop_distributed(self) -> None:
+        import time
+
+        try:
+            from havac_tpu.parallel.engine_dist import DistributedSweep
+
+            scores = self.scores
+            P = scores.shape[0]
+            cap = self.dist_hit_capacity
+            while True:
+                sweep = DistributedSweep(
+                    self.database.codes, self.mesh, self.mesh_axis,
+                    rows_per_step=self.dist_rows_per_step,
+                    rows_per_call=self.chunk_rows, hit_capacity=cap)
+                n_row = max(1, -(-P // sweep.rows_per_call))
+                self._chunks_total = n_row
+                all_rows: List[np.ndarray] = []
+                all_pos: List[np.ndarray] = []
+                t_sweep = 0.0
+                try:
+                    for ri in range(n_row):
+                        if self._abort_event.is_set():
+                            with self._state_lock:
+                                self._state = HavacRunState.ABORTED
+                            return
+                        r0 = ri * sweep.rows_per_call
+                        r1 = min(P, r0 + sweep.rows_per_call)
+                        t0 = time.perf_counter()
+                        rows, pos = sweep.sweep_rows(scores[r0:r1], r0)
+                        t_sweep += time.perf_counter() - t0
+                        all_rows.append(rows)
+                        all_pos.append(pos)
+                        self._chunks_done = ri + 1
+                    break
+                except HitTileOverflow:
+                    self.stats.overflow_retries += 1
+                    cap *= 2
+
+            if all_rows:
+                self._hit_rows = np.concatenate(all_rows)
+                self._hit_positions = np.concatenate(all_pos)
+            self.stats.num_chunks = self._chunks_total
+            self.stats.cells = self.database.padded_length * P
+            self.stats.sweep_seconds = t_sweep
+            self.stats.num_raw_hits = int(self._hit_rows.shape[0])
+            with self._state_lock:
+                self._state = HavacRunState.COMPLETED
+        except BaseException as exc:
             self._error = exc
             with self._state_lock:
                 self._state = HavacRunState.ERROR

@@ -1,0 +1,79 @@
+"""Distributed engine path on an 8-device CPU mesh vs the scalar oracle.
+
+BASELINE config 3's shape at test scale: a multi-model collection swept over
+a sequence-sharded mesh in several row chunks, exercising the cross-chunk
+chain state (sharded row state + per-device boundary scalars) and the
+on-device hit compaction. Exactness includes chains that cross shard seams
+AND row-chunk boundaries simultaneously.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from havac_tpu.engine import Havac
+from havac_tpu.io.fasta import load_fasta_database
+from havac_tpu.ops.common import SsvKernelConfig
+from havac_tpu.ops.reference import ssv_reference
+from havac_tpu.parallel.engine_dist import ssv_distributed
+from havac_tpu.scoring.reprojection import project_models
+from havac_tpu.testing.generator import generate_planted_fixture
+
+
+def mesh8():
+    return Mesh(np.array(jax.devices()[:8]), ("seq",))
+
+
+def test_distributed_sweep_matches_oracle_multi_chunk():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=4096).astype(np.uint8)
+    scores = rng.integers(-40, 110, size=(300, 4)).astype(np.int8)
+    rows, pos = ssv_distributed(codes, scores, mesh8(), rows_per_step=32,
+                                rows_per_call=96)
+    want, _ = ssv_reference(codes, scores)
+    assert len(want.hit_rows) > 0
+    np.testing.assert_array_equal(rows, want.hit_rows)
+    np.testing.assert_array_equal(pos, want.hit_positions)
+
+
+def test_distributed_chains_cross_seams_and_chunks():
+    """Monotone chains longer than both a shard and a row chunk."""
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 4, size=1024).astype(np.uint8)
+    scores = np.full((128, 4), 5, dtype=np.int8)  # rising chains everywhere
+    rows, pos = ssv_distributed(codes, scores, mesh8(), rows_per_step=32,
+                                rows_per_call=32)  # 4 chained calls
+    want, _ = ssv_reference(codes, scores)
+    assert len(want.hit_rows) > 100
+    np.testing.assert_array_equal(rows, want.hit_rows)
+    np.testing.assert_array_equal(pos, want.hit_positions)
+
+
+def test_distributed_hit_capacity_overflow():
+    from havac_tpu.ops.common import HitTileOverflow
+    from havac_tpu.parallel.engine_dist import DistributedSweep
+
+    codes = np.zeros(1024, dtype=np.uint8)
+    scores = np.full((32, 4), 127, dtype=np.int8)  # hits everywhere
+    sweep = DistributedSweep(codes, mesh8(), rows_per_step=32,
+                             rows_per_call=32, hit_capacity=4)
+    with pytest.raises(HitTileOverflow):
+        sweep.sweep_rows(scores, 0)
+
+
+def test_engine_mesh_end_to_end():
+    models, records = generate_planted_fixture(
+        seed=43, model_length=64, sequence_length=6000, num_models=3)
+    fasta = "".join(f">{n}\n{s}\n" for n, s in records)
+    dist = Havac(p_value=0.05, backend="xla", mesh=mesh8(), chunk_rows=64,
+                 dist_rows_per_step=32)
+    dist.load_phmm(models).load_sequence(fasta, is_text=True).run()
+    assert dist.stats.num_chunks == 3  # 192 rows / 64
+    single = Havac(p_value=0.05, backend="xla",
+                   config=SsvKernelConfig(block_width=1024, rows_per_strip=8,
+                                          interpret=True))
+    single.load_phmm(models).load_sequence(fasta, is_text=True).run()
+    assert len(dist.hits()) > 0
+    assert sorted(dist.hits().as_tuples()) == sorted(single.hits().as_tuples())
