@@ -277,6 +277,13 @@ class Havac:
         if self.mesh is not None:
             self._run_loop_distributed()
             return
+        if (self.backend in ("pallas", "pallas_interpret")
+                and self.checkpoint_path is None):
+            # Fast path: depth-1 pipelined dispatch — hit decode of chunk i
+            # overlaps the device sweep of chunk i+1, chain state stays on
+            # device (the reference's DATAFLOW hit-drain overlap, SURVEY §2.5).
+            self._run_loop_pipelined()
+            return
         try:
             scores = self.scores
             codes = self.database.codes
@@ -357,6 +364,44 @@ class Havac:
             with self._state_lock:
                 self._state = HavacRunState.COMPLETED
         except BaseException as exc:  # surfaced on wait()/hits()
+            self._error = exc
+            with self._state_lock:
+                self._state = HavacRunState.ERROR
+
+    def _run_loop_pipelined(self) -> None:
+        try:
+            from havac_tpu.engine.pipeline import PipelinedSweep
+
+            cfg = self.config
+            if self.backend == "pallas_interpret" and not cfg.interpret:
+                cfg = SsvKernelConfig(cfg.block_width, cfg.rows_per_strip,
+                                      cfg.max_hit_tiles, True, cfg.packing)
+            codes = self.database.codes
+            W = cfg.block_width
+            if codes.shape[0] % W:
+                codes = np.pad(codes,
+                               (0, round_up(codes.shape[0], W) - codes.shape[0]))
+            sweep = PipelinedSweep(codes, self.scores, cfg,
+                                   self.chunk_symbols, self.chunk_rows)
+            self._chunks_total = sweep.n_col * sweep.n_row
+
+            def progress(done):
+                self._chunks_done = done
+
+            result = sweep.run(self._abort_event, progress)
+            self.stats.overflow_retries = sweep.overflow_retries
+            if result is None:
+                with self._state_lock:
+                    self._state = HavacRunState.ABORTED
+                return
+            self._hit_rows, self._hit_positions, t_sweep = result
+            self.stats.num_chunks = self._chunks_total
+            self.stats.cells = codes.shape[0] * self.scores.shape[0]
+            self.stats.sweep_seconds = t_sweep
+            self.stats.num_raw_hits = int(self._hit_rows.shape[0])
+            with self._state_lock:
+                self._state = HavacRunState.COMPLETED
+        except BaseException as exc:
             self._error = exc
             with self._state_lock:
                 self._state = HavacRunState.ERROR
