@@ -25,8 +25,8 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     if on_tpu:
-        W = 258048  # SWAR kernel block width (3 × 672 × 128)
-        L = W * 33  # ~8.5M symbols
+        W = 387072  # SWAR kernel block width (3 × 1008 × 128)
+        L = W * 22  # ~8.5M symbols
         P = 4080  # 136 strips of 30 rows
     else:  # CPU smoke mode so the bench always runs
         L = 1 << 18

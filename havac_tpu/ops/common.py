@@ -54,7 +54,7 @@ class SsvKernelConfig:
             raise ValueError("packing must be 1 or 3")
 
     @staticmethod
-    def swar(block_width: int = 258048, max_hit_tiles: int = 512,
+    def swar(block_width: int = 387072, max_hit_tiles: int = 512,
              interpret: bool = False) -> "SsvKernelConfig":
         """Default geometry for the SWAR kernel (measured best on v5e)."""
         return SsvKernelConfig(block_width=block_width, rows_per_strip=30,
