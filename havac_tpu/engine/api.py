@@ -25,6 +25,7 @@ TPU-native redesign notes:
 from __future__ import annotations
 
 import enum
+import logging
 import os
 import threading
 from dataclasses import dataclass
@@ -39,6 +40,8 @@ from havac_tpu.ops.common import HitTileOverflow, SsvKernelConfig, round_up
 from havac_tpu.scoring.reprojection import project_models
 
 DEFAULT_P_VALUE = 0.02  # `README.md:39`, `benchmark/benchmark.cpp:13`
+
+log = logging.getLogger("havac_tpu.engine")
 
 
 class HavacRunState(enum.Enum):
@@ -177,6 +180,8 @@ class Havac:
         self.models = models
         self.scores = project_models(models, self.p_value)
         self.phmm_prefix = model_length_prefix_sums(models)
+        log.info("loaded %d models, %d total positions (p=%g)",
+                 len(models), self.scores.shape[0], self.p_value)
         return self
 
     def load_sequence(self, src: Union[str, SequenceDatabase],
@@ -189,6 +194,10 @@ class Havac:
             self.database = load_fasta_database(
                 src, pad_multiple=self.config.block_width, seed=self.seed,
                 is_text=is_text)
+        log.info("loaded %d sequences, %d positions (padded %d)",
+                 self.database.num_sequences,
+                 int(self.database.lengths.sum()),
+                 self.database.padded_length)
         return self
 
     # ------------------------------------------------------------------- run
@@ -361,6 +370,9 @@ class Havac:
             self.stats.num_raw_hits = int(self._hit_rows.shape[0])
             if self.checkpoint_path and os.path.exists(self.checkpoint_path):
                 os.remove(self.checkpoint_path)
+            log.info("sweep complete: %d raw hits, %.3fs (%.1f GCUPS)",
+                     self.stats.num_raw_hits, self.stats.sweep_seconds,
+                     self.stats.gcups)
             with self._state_lock:
                 self._state = HavacRunState.COMPLETED
         except BaseException as exc:  # surfaced on wait()/hits()
@@ -388,6 +400,8 @@ class Havac:
             def progress(done):
                 self._chunks_done = done
 
+            log.info("pipelined sweep: %d column x %d row chunks, backend=%s",
+                     sweep.n_col, sweep.n_row, self.backend)
             result = sweep.run(self._abort_event, progress)
             self.stats.overflow_retries = sweep.overflow_retries
             if result is None:

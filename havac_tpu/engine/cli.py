@@ -35,20 +35,51 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="sequence positions per kernel dispatch")
     p.add_argument("--chunk-rows", type=int, default=8160,
                    help="model rows per kernel dispatch")
+    p.add_argument("--trace", metavar="DIR", default=None,
+                   help="write a JAX profiler trace of the sweep to DIR "
+                        "(view with xprof/tensorboard)")
+    p.add_argument("--verbose", "-v", action="store_true",
+                   help="log engine phases to stderr")
 
 
 def _build_engine(args):
     from havac_tpu.engine.api import Havac
 
+    if getattr(args, "verbose", False):
+        import logging
+
+        logging.basicConfig(level=logging.INFO,
+                            format="%(asctime)s %(name)s %(message)s")
     return Havac(p_value=args.pvalue, backend=args.backend,
                  chunk_symbols=args.chunk_symbols, chunk_rows=args.chunk_rows)
+
+
+class _MaybeTrace:
+    """jax.profiler.trace(dir) when requested, else a no-op context."""
+
+    def __init__(self, trace_dir):
+        self.trace_dir = trace_dir
+
+    def __enter__(self):
+        if self.trace_dir:
+            import jax
+
+            self._ctx = jax.profiler.trace(self.trace_dir)
+            self._ctx.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        if self.trace_dir:
+            self._ctx.__exit__(*exc)
+        return False
 
 
 def cmd_search(args) -> int:
     engine = _build_engine(args)
     engine.load_phmm(args.hmm)
     engine.load_sequence(args.fasta)
-    engine.run()
+    with _MaybeTrace(args.trace):
+        engine.run()
     hits = engine.hits()
 
     out = open(args.out, "w") if args.out != "-" else sys.stdout
@@ -80,7 +111,8 @@ def cmd_benchmark(args) -> int:
     t_load = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    engine.run()
+    with _MaybeTrace(args.trace):
+        engine.run()
     t_run = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -1,0 +1,104 @@
+"""End-to-end runtime scaling sweep — the reference's headline benchmark.
+
+Reproduces the methodology of `benchmark/runtime_table.py` +
+`benchmark/readme.txt`: scan one chromosome-scale FASTA against cumulative
+model databases of growing total length, reporting end-to-end seconds per
+size. The reference's published curve (Alveo U50): 6.06 s @ 1k model
+positions → 14.16 s @ 150k; nhmmer SSV (32 threads): 2.36 s → 434.84 s.
+
+With --synthetic the workload is generated (random 50.8 Mb "chromosome" +
+synthetic models), so the sweep runs anywhere; pass real --hmm/--fasta to
+benchmark actual data.
+
+Usage:
+  python tools/runtime_table.py --synthetic --lengths 1020 5010 10020
+  python tools/runtime_table.py --hmm Rfam.hmm --fasta chr22.fa
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REFERENCE_SECONDS = {  # benchmark/runtime_table.py:5-9 (U50 / nhmmer 32T)
+    1007: (6.06, 2.36), 5055: (6.31, 8.32), 10122: (6.766, 20.53),
+    20039: (6.88, 49.75), 30007: (7.41, 70.72), 50120: (8.02, 101.33),
+    100048: (11.61, 281.54), 150043: (14.16, 434.84),
+}
+
+
+def synthetic_workload(total_positions: int, seq_len: int):
+    from havac_tpu.testing.generator import model_from_consensus
+
+    rng = np.random.default_rng(7)
+    models = []
+    cum = 0
+    i = 0
+    while cum < total_positions:
+        length = int(rng.integers(60, 200))
+        length = min(length, total_positions - cum) or 1
+        consensus = rng.integers(0, 4, size=max(length, 8)).astype(np.uint8)
+        models.append(model_from_consensus(consensus, name=f"synth-{i}"))
+        cum += models[-1].model_length
+        i += 1
+    seq = rng.integers(0, 4, size=seq_len).astype(np.uint8)
+    return models, seq
+
+
+def main() -> int:
+    from havac_tpu.engine import Havac
+    from havac_tpu.io.fasta import SequenceDatabase
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hmm")
+    ap.add_argument("--fasta")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--seq-len", type=int, default=50_818_468)  # chr22 size
+    ap.add_argument("--lengths", type=int, nargs="+",
+                    default=[1007, 10122, 50120, 150043])
+    ap.add_argument("--pvalue", type=float, default=0.02)
+    args = ap.parse_args()
+
+    rows = []
+    for total in args.lengths:
+        if args.synthetic:
+            models, seq = synthetic_workload(total, args.seq_len)
+            engine = Havac(p_value=args.pvalue)
+            t0 = time.perf_counter()
+            engine.load_phmm(models)
+            db = SequenceDatabase(
+                codes=seq, starts=np.array([0, len(seq) + 1]),
+                lengths=np.array([len(seq)]), names=["synth-chr"], seed=0)
+            engine.load_sequence(db)
+            engine.run()
+            hits = engine.hits()
+            elapsed = time.perf_counter() - t0
+        else:
+            engine = Havac(p_value=args.pvalue)
+            t0 = time.perf_counter()
+            engine.load_phmm(args.hmm)
+            engine.load_sequence(args.fasta)
+            engine.run()
+            hits = engine.hits()
+            elapsed = time.perf_counter() - t0
+        ref = REFERENCE_SECONDS.get(total, (None, None))
+        rows.append({
+            "model_positions": int(sum(m.model_length for m in engine.models)),
+            "seconds": round(elapsed, 3),
+            "sweep_seconds": round(engine.stats.sweep_seconds, 3),
+            "gcups_e2e": round(engine.stats.cells / elapsed / 1e9, 1),
+            "num_hits": len(hits),
+            "reference_havac_s": ref[0],
+            "reference_nhmmer32_s": ref[1],
+        })
+        print(json.dumps(rows[-1]))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
