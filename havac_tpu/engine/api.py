@@ -200,6 +200,48 @@ class Havac:
                  self.database.padded_length)
         return self
 
+    def scan_files(self, fasta_paths: Sequence[str], prefetch: int = 1):
+        """Streaming scan over many FASTA files (BASELINE config 5).
+
+        Yields ``(path, ResolvedHits)`` per file. A background thread parses
+        and 2-bit-encodes file i+1 while file i sweeps on the device (the
+        host-side prefetch the reference lacks, SURVEY.md §2.5). Each file is
+        an independent database: the DP carry does not flow across files, and
+        hit coordinates are local to the yielded file. Compiled kernels are
+        reused across files with matching chunk shapes.
+        """
+        import queue as queue_mod
+
+        if self.scores is None:
+            raise HavacUsageError("load_phmm must be called before scan_files")
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(1, prefetch))
+        _END = object()
+
+        def producer():
+            try:
+                for path in fasta_paths:
+                    db = load_fasta_database(
+                        path, pad_multiple=self.config.block_width,
+                        seed=self.seed)
+                    q.put((path, db))
+            except BaseException as exc:  # surfaced on the consumer side
+                q.put((None, exc))
+            finally:
+                q.put(_END)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            path, db = item
+            if path is None:
+                raise db  # producer exception
+            self.database = db
+            self.run()
+            yield path, self.hits()
+
     # ------------------------------------------------------------------- run
 
     @property

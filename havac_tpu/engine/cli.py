@@ -141,6 +141,38 @@ def cmd_benchmark(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """Compare engine hits against nhmmer windows (tblout) — the
+    hmmerValidation executable analog (`test/hmmerValidation`)."""
+    from havac_tpu.validation import (compare_containment,
+                                      engine_hits_for_comparison, load_tblout)
+
+    engine = _build_engine(args)
+    engine.load_phmm(args.hmm)
+    engine.load_sequence(args.fasta)
+    with _MaybeTrace(args.trace):
+        engine.run()
+    hits = engine_hits_for_comparison(engine)
+    windows = load_tblout(args.tblout)
+    report = compare_containment(hits, windows, slack=args.slack)
+    out = {
+        "num_engine_hits": report.num_hits,
+        "num_nhmmer_windows": report.num_windows,
+        "hit_recall": round(report.hit_recall, 6),
+        "window_recall": round(report.window_recall, 6),
+        "uncontained_hits": len(report.uncontained_hits),
+        "uncovered_windows": len(report.uncovered_windows),
+    }
+    if args.show_disagreements:
+        out["uncontained_hit_list"] = report.uncontained_hits[:100]
+        out["uncovered_window_list"] = [
+            (w.target_name, w.query_name, w.seq_lo, w.seq_hi)
+            for w in report.uncovered_windows[:100]]
+    print(json.dumps(out, indent=2))
+    return 0 if (report.hit_recall >= args.min_recall
+                 and report.window_recall >= args.min_recall) else 1
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="havac-tpu", description="TPU-native SSV homology search")
@@ -155,6 +187,18 @@ def main(argv=None) -> int:
     p_bench = sub.add_parser("benchmark", help="phase-timed end-to-end run")
     _add_common(p_bench)
     p_bench.set_defaults(fn=cmd_benchmark)
+
+    p_val = sub.add_parser(
+        "validate", help="containment comparison vs nhmmer --tblout output")
+    _add_common(p_val)
+    p_val.add_argument("--tblout", required=True,
+                       help="nhmmer --tblout file for the same hmm/fasta")
+    p_val.add_argument("--slack", type=int, default=0,
+                       help="window-edge tolerance in positions")
+    p_val.add_argument("--min-recall", type=float, default=0.98,
+                       help="exit nonzero if either recall falls below this")
+    p_val.add_argument("--show-disagreements", action="store_true")
+    p_val.set_defaults(fn=cmd_validate)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -17,12 +17,52 @@ downstream chunks already in flight need no replay).
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from havac_tpu.ops.common import SsvKernelConfig, round_up
+
+
+def _compact_tiles_impl(otiles, ometa, count, cap: int, group_cap: int):
+    """On-device tile→record compaction: nonzero bitmap words of the first
+    ``count`` tiles as (flat index, word) pairs. Only ``cap`` records cross
+    to the host instead of whole 0.5 MB tiles — essential when realistic
+    p-values make most tiles dirty.
+
+    Two-level: a full nonzero over the buffer is pathologically slow on TPU
+    (~20× the bandwidth bound), so first reduce 1024-word groups to dirty
+    flags (bandwidth-bound), nonzero the small flag vector, gather only the
+    dirty groups, and nonzero that small block. Callers retry with bigger
+    caps when nrec > cap or ngroups > group_cap."""
+    import jax.numpy as jnp
+
+    G = 1024
+    maxt = otiles.shape[0]
+    flat = otiles.reshape(maxt, -1)
+    masked = jnp.where(jnp.arange(maxt)[:, None] < count, flat, 0)
+    ng = masked.size // G
+    gm = masked.reshape(ng, G)
+    flags = jnp.any(gm != 0, axis=1)
+    nrec = jnp.sum((masked != 0).astype(jnp.int32))
+    ngroups = jnp.sum(flags.astype(jnp.int32))
+
+    cap_g = min(group_cap, ng)
+    (gids,) = jnp.nonzero(flags, size=cap_g, fill_value=ng)
+    gm_pad = jnp.concatenate([gm, jnp.zeros((1, G), gm.dtype)])
+    data = gm_pad[gids].reshape(-1)  # (cap_g * G,)
+    (ridx,) = jnp.nonzero(data, size=cap, fill_value=-1)
+    words = jnp.where(ridx >= 0, data[jnp.clip(ridx, 0, None)], 0)
+    gsel = gids[jnp.clip(ridx, 0, None) // G]
+    idx = jnp.where(ridx >= 0, gsel * G + ridx % G, -1)
+    # One packed vector so the host needs a single D2H round trip:
+    # [nrec, ngroups, ometa(maxt), idx(cap), words(cap)].
+    return jnp.concatenate([nrec[None].astype(jnp.int32),
+                            ngroups[None].astype(jnp.int32),
+                            ometa.astype(jnp.int32), idx.astype(jnp.int32),
+                            words.astype(jnp.int32)])
 
 
 class PipelinedSweep:
@@ -44,29 +84,57 @@ class PipelinedSweep:
         self.W = config.block_width
         self.K = config.rows_per_strip
         self.maxt = config.max_hit_tiles
-        self.chunk = chunk_symbols
-        self.rchunk = chunk_rows
-        self.n_col = max(1, -(-self.L // self.chunk))
-        self.n_row = max(1, -(-self.P // self.rchunk))
         self.overflow_retries = 0
+        self.record_cap = 1 << 14  # hit records pulled per chunk (adaptive)
+        self.group_cap = 1 << 14  # dirty 1024-word groups per chunk (adaptive)
+        self.tile_budget_bytes = config.tile_budget_bytes
 
         if config.packing == 3:
             from havac_tpu.ops import ssv_swar as mod
             self._mod = mod
             self.W3 = self.W // 3
+            self._tile_words = self.W3
+            self._nflush = self.K // mod.ROWS_PER_FLUSH
         else:
             from havac_tpu.ops import ssv_pallas as mod
             self._mod = mod
+            self._tile_words = self.W
+            self._nflush = 1
+        self._compact = jax.jit(_compact_tiles_impl,
+                        static_argnames=("cap", "group_cap"))
+
+        # Clamp chunk geometry so a worst-case (every tile dirty) dispatch
+        # fits the tile budget: with lookahead pipelining ~6 buffers of maxt
+        # tiles are live at once (in-flight dispatches + compaction copies).
+        # This bounds HBM even at realistic p-values where most tiles
+        # contain hits.
+        tile_bytes = self._tile_words * 4
+        self._maxt_cap = max(12, min(8192,
+                                     config.tile_budget_bytes // (3 * tile_bytes)))
+        K = self.K
+        # Uniform chunk shapes: every dispatch shares one (B, S) so the whole
+        # run costs exactly one kernel compile (pad rows/columns into the
+        # last chunk instead of letting it go ragged).
+        P2 = round_up(self.P, K)
+        rchunk_cap = min(max(chunk_rows, K),
+                         max(K, (self._maxt_cap // (self._nflush * 4)) * K))
+        self.n_row = max(1, -(-P2 // rchunk_cap))
+        self.rchunk = round_up(-(-P2 // self.n_row), K)
+        strips_per_chunk = self.rchunk // K
+        blocks_cap = max(1, self._maxt_cap // (self._nflush * strips_per_chunk))
+        chunk_blocks = min(max(1, chunk_symbols // self.W), blocks_cap)
+        self.chunk = chunk_blocks * self.W
+        self.n_col = max(1, -(-self.L // self.chunk))
 
         # Stage the whole packed database in HBM once (one H2D) and slice
         # per column chunk on device — per-chunk host uploads would bottleneck
         # hosts with slow interconnects. Falls back to per-chunk upload when
         # the packed database exceeds the staging budget.
         self._codes_dev = None
-        packed_bytes = round_up(self.L, self.W) * (4 // 3 if config.packing == 3
-                                                   else 1)
+        self._blocks_per_chunk = self.chunk // self.W
+        L2 = self.n_col * self.chunk  # uniform column chunks
+        packed_bytes = L2 * (4 // 3 if config.packing == 3 else 1)
         if packed_bytes <= (1 << 32):  # 4 GiB staging budget
-            L2 = round_up(self.L, self.W)
             padded = np.zeros(L2, dtype=np.uint8)
             padded[:self.L] = codes
             if config.packing == 3:
@@ -75,22 +143,20 @@ class PipelinedSweep:
                 blocks = padded.astype(np.int8).reshape(L2 // self.W,
                                                         self.W // 128, 128)
             self._codes_dev = jnp.asarray(blocks)
-            self._blocks_per_chunk = self.chunk // self.W
 
         # Per-row-chunk score strips, staged once.
         self._scores_dev: List = []
         self._rows1: List[int] = []
         for ri in range(self.n_row):
             r0, r1 = ri * self.rchunk, min(self.P, (ri + 1) * self.rchunk)
-            Pc = r1 - r0
-            P2 = round_up(Pc, self.K)
-            sc = np.full((P2, 4), -128, dtype=np.int32)
+            Pc = max(0, r1 - r0)
+            sc = np.full((self.rchunk, 4), -128, dtype=np.int32)
             sc[:Pc] = scores[r0:r1].astype(np.int32)
             if config.packing == 3:
                 sc = sc + 256  # SWAR kernel takes biased scores
-            self._scores_dev.append(jnp.asarray(sc.reshape(P2 // self.K,
-                                                           self.K, 4)))
-            self._rows1.append(P2 + 1)
+            self._scores_dev.append(jnp.asarray(sc.reshape(
+                self.rchunk // self.K, self.K, 4)))
+            self._rows1.append(self.rchunk + 1)
 
     # ---------------------------------------------------------- chunk prep
 
@@ -99,10 +165,10 @@ class PipelinedSweep:
         hi = min(self.L, lo + self.chunk)
         if self._codes_dev is not None:
             b0 = ci * self._blocks_per_chunk
-            b1 = min(self._codes_dev.shape[0], b0 + self._blocks_per_chunk)
-            return self._codes_dev[b0:b1], lo, hi - lo
+            return (self._codes_dev[b0:b0 + self._blocks_per_chunk], lo,
+                    hi - lo)
         chunk_codes = self.codes[lo:hi]
-        L2 = round_up(chunk_codes.shape[0], self.W)
+        L2 = self.chunk  # uniform chunk shape even for the last chunk
         padded = np.zeros(L2, dtype=np.uint8)
         padded[:chunk_codes.shape[0]] = chunk_codes
         if self.cfg.packing == 3:
@@ -123,82 +189,102 @@ class PipelinedSweep:
             max_hit_tiles=maxt, interpret=self.cfg.interpret)
 
     def _collect(self, pend) -> Tuple[np.ndarray, np.ndarray]:
-        (out, inputs, maxt, ri, lo, Lc) = pend
-        while True:
-            ostate, ocarry, ometa, ocount, otiles = out
-            count = int(ocount[0])  # first device sync for this chunk
-            if count <= maxt:
-                break
-            # Rare: replay this chunk with a bigger tile buffer. Chain
-            # outputs of the overflowed dispatch are exact, so nothing
-            # downstream is re-run.
-            self.overflow_retries += 1
-            maxt *= 2
-            out = self._dispatch(*inputs, maxt)
+        (out, inputs, maxt, ntiles, ri, lo, Lc) = pend
+        ostate, ocarry, ometa, ocount, otiles = out
         r0 = ri * self.rchunk
         Pc = min(self.P, r0 + self.rchunk) - r0
-        if count == 0:
+        # On-device compaction + a single packed D2H pull per chunk.
+        while True:
+            cap, gcap = self.record_cap, self.group_cap
+            packed = np.asarray(self._compact(otiles, ometa, ocount[0],
+                                              cap=cap, group_cap=gcap))
+            n, ngroups = int(packed[0]), int(packed[1])
+            if n <= cap and ngroups <= gcap:
+                break
+            if n > cap:
+                self.record_cap = max(cap * 2, round_up(n, 1024))
+            if ngroups > gcap:
+                self.group_cap = max(gcap * 2, round_up(ngroups, 1024))
+            self.overflow_retries += 1
+        if n == 0:
             return (np.empty(0, dtype=np.int64),) * 2
+        mt = otiles.shape[0]
+        ometa_np = packed[2:2 + mt]
+        idx = packed[2 + mt:2 + mt + n].astype(np.int64)
+        words = packed[2 + mt + cap:2 + mt + cap + n]
+        slots = idx // self._tile_words
+        word_idx = idx % self._tile_words
+        ids = ometa_np[slots]
         S = self._scores_dev[ri].shape[0]
         if self.cfg.packing == 3:
-            rows, pos = self._mod.decode_swar_tiles(
-                np.asarray(ometa), np.asarray(otiles[:count]).reshape(count, -1),
-                count, S, self.W3)
+            rows, pos = self._mod.decode_swar_flat(ids, word_idx, words, S,
+                                                   self.W3)
         else:
-            from havac_tpu.hits.decode import decode_hit_tiles
+            from havac_tpu.hits.decode import decode_flat_records
 
-            rows, pos = decode_hit_tiles(
-                np.asarray(ometa),
-                np.asarray(otiles[:count]).reshape(count, -1),
-                count, S, self.W, self.K)
+            rows, pos = decode_flat_records(ids, word_idx, words, S, self.W,
+                                            self.K)
         keep = (rows < Pc) & (pos < Lc)
         return rows[keep] + r0, pos[keep] + lo
 
     # ----------------------------------------------------------------- run
 
-    def run(self, abort_event=None, progress=None
+    def run(self, abort_event=None, progress=None, lookahead: int = 3
             ) -> Optional[Tuple[np.ndarray, np.ndarray, float]]:
         """Full pipelined sweep; returns (rows, positions, sweep_seconds) or
-        None if aborted."""
+        None if aborted.
+
+        Up to ``lookahead`` chunks are in flight; a small collector pool
+        pulls finished chunks' packed hit records concurrently, so the
+        per-chunk host round trip overlaps both device compute and other
+        chunks' round trips (high-latency host links would otherwise
+        serialize on it)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         jnp = self.jnp
         t_start = time.perf_counter()
-        all_rows: List[np.ndarray] = []
-        all_pos: List[np.ndarray] = []
-        pending = None
+        futures: List = []
+        inflight: List = []
         done = 0
 
-        prev_col_carry: Dict[int, object] = {}  # ri -> ocarry device array
-        for ci in range(self.n_col):
-            symw, lo, Lc = self._pack_codes(ci)
-            B, WS = symw.shape[0], symw.shape[1]
-            istate = jnp.zeros((B, WS, 128), jnp.int32)
-            col_carry: Dict[int, object] = {}
-            for ri in range(self.n_row):
-                if abort_event is not None and abort_event.is_set():
-                    return None
-                icarry = prev_col_carry.get(ri)
-                if icarry is None or icarry.shape[0] != self._rows1[ri]:
-                    icarry = jnp.zeros(self._rows1[ri], jnp.int32)
-                inputs = (symw, self._scores_dev[ri], istate, icarry)
-                out = self._dispatch(*inputs, self.maxt)
-                # Depth-1 pipeline: decode the previous chunk while this one
-                # sweeps on device.
-                if pending is not None:
-                    rows, pos = self._collect(pending)
-                    all_rows.append(rows)
-                    all_pos.append(pos)
-                pending = (out, inputs, self.maxt, ri, lo, Lc)
-                istate = out[0]  # chain row state on device
-                col_carry[ri] = out[1]  # chain carry on device
-                done += 1
-                if progress is not None:
-                    progress(done)
-            prev_col_carry = col_carry
-        if pending is not None:
-            rows, pos = self._collect(pending)
-            all_rows.append(rows)
-            all_pos.append(pos)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            prev_col_carry: Dict[int, object] = {}
+            for ci in range(self.n_col):
+                symw, lo, Lc = self._pack_codes(ci)
+                B, WS = symw.shape[0], symw.shape[1]
+                istate = jnp.zeros((B, WS, 128), jnp.int32)
+                col_carry: Dict[int, object] = {}
+                for ri in range(self.n_row):
+                    if abort_event is not None and abort_event.is_set():
+                        for f in futures:
+                            f.result()  # drain workers before bailing
+                        return None
+                    icarry = prev_col_carry.get(ri)
+                    if icarry is None or icarry.shape[0] != self._rows1[ri]:
+                        icarry = jnp.zeros(self._rows1[ri], jnp.int32)
+                    inputs = (symw, self._scores_dev[ri], istate, icarry)
+                    # Geometry clamping guarantees ntiles <= _maxt_cap: the
+                    # buffer covers the worst case and tile overflow cannot
+                    # occur (record caps adapt inside _collect).
+                    ntiles = B * self._scores_dev[ri].shape[0] * self._nflush
+                    maxt = min(ntiles, self._maxt_cap)
+                    out = self._dispatch(*inputs, maxt)
+                    while len(inflight) >= lookahead:
+                        inflight.pop(0).result()  # bound buffers in flight
+                    fut = pool.submit(self._collect,
+                                      (out, inputs, maxt, ntiles, ri, lo, Lc))
+                    futures.append(fut)
+                    inflight.append(fut)
+                    istate = out[0]  # chain row state on device
+                    col_carry[ri] = out[1]  # chain carry on device
+                    done += 1
+                    if progress is not None:
+                        progress(done)
+                prev_col_carry = col_carry
+            results = [f.result() for f in futures]
 
+        all_rows = [r for r, _ in results]
+        all_pos = [p for _, p in results]
         rows = (np.concatenate(all_rows) if all_rows
                 else np.empty(0, dtype=np.int64))
         pos = (np.concatenate(all_pos) if all_pos

@@ -136,3 +136,34 @@ def resolve_hits(
         phmm_index=model_idx_clamped[keep],
         phmm_position=model_pos[keep],
     )
+
+
+def decode_flat_records(
+    tile_ids_per_entry: np.ndarray,
+    word_idx: np.ndarray,
+    words: np.ndarray,
+    num_strips: int,
+    block_width: int,
+    rows_per_strip: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Flat record decode for the unpacked kernel's tiles: entry e is bitmap
+    word ``words[e]`` at in-tile position ``word_idx[e]`` of tile
+    ``tile_ids_per_entry[e]`` (id = block·num_strips + strip)."""
+    if words.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    words = np.asarray(words).view(np.uint32)
+    ids = np.asarray(tile_ids_per_entry, dtype=np.int64)
+    word_idx = np.asarray(word_idx, dtype=np.int64)
+    K = rows_per_strip
+    blocks = ids // num_strips
+    strips = ids % num_strips
+    rows_out, pos_out = [], []
+    for k in range(K):
+        sel = ((words >> np.uint32(K - 1 - k)) & np.uint32(1)).astype(bool)
+        if sel.any():
+            rows_out.append(strips[sel] * K + k)
+            pos_out.append(blocks[sel] * block_width + word_idx[sel])
+    rows = np.concatenate(rows_out)
+    positions = np.concatenate(pos_out)
+    order = np.lexsort((positions, rows))
+    return rows[order], positions[order]

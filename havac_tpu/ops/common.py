@@ -37,6 +37,10 @@ class SsvKernelConfig:
     max_hit_tiles: int = 512
     interpret: bool = False
     packing: int = 1
+    # HBM budget for the dirty-tile buffer in the pipelined engine path
+    # (which sizes the buffer to the grid when it fits, making overflow
+    # impossible; the reference's fixed 3.5 GiB hit buffer analog).
+    tile_budget_bytes: int = 3 << 30
 
     def __post_init__(self) -> None:
         if self.packing == 1:

@@ -393,3 +393,39 @@ def ssv_swar(
     final_state = unpack_state(np.asarray(ostate))[:L]
     final_carry = np.asarray(ocarry)[: P + 1]
     return rows, positions, final_state, final_carry
+
+
+def decode_swar_flat(
+    tile_ids_per_entry: np.ndarray,
+    word_idx: np.ndarray,
+    words: np.ndarray,
+    num_strips: int,
+    block_words: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Flat record decode: entry e is bitmap word ``words[e]`` at position
+    ``word_idx[e]`` of the tile whose id is ``tile_ids_per_entry[e]``
+    (id = (block·S + strip)·3 + flush, as in :func:`decode_swar_tiles`)."""
+    if words.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    words = np.asarray(words).view(np.uint32)
+    flat = np.asarray(tile_ids_per_entry, dtype=np.int64)
+    word_idx = np.asarray(word_idx, dtype=np.int64)
+    W3 = block_words
+    W = 3 * W3
+    nf = ROWS_PER_FLUSH
+    flush = flat % 3
+    bs = flat // 3
+    blocks = bs // num_strips
+    strips = bs % num_strips
+    row_base = strips * ROWS_PER_STRIP + flush * nf
+    rows_out, pos_out = [], []
+    for f in range(3):
+        for r in range(nf):
+            sel = ((words >> np.uint32(10 * f + nf - 1 - r)) & np.uint32(1)).astype(bool)
+            if sel.any():
+                rows_out.append(row_base[sel] + r)
+                pos_out.append(blocks[sel] * W + f * W3 + word_idx[sel])
+    rows = np.concatenate(rows_out)
+    positions = np.concatenate(pos_out)
+    order = np.lexsort((positions, rows))
+    return rows[order], positions[order]

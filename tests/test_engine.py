@@ -131,15 +131,18 @@ def test_async_run_and_abort():
     assert len(engine.hits()) == n_full
 
 
-def test_hit_tile_overflow_retry():
+def test_hit_tile_overflow_retry(tmp_path):
     """Saturating scores make every cell hit; the engine must retry with a
     bigger tile buffer instead of failing (reference analog: the 3.5 GiB hit
-    buffer bound, host/HavacHwClient.hpp:94)."""
+    buffer bound, host/HavacHwClient.hpp:94). The pipelined path sizes its
+    buffer to the grid (overflow impossible); the serial path — used with
+    checkpointing — exercises the retry."""
     models, records = generate_planted_fixture(
         seed=9, model_length=16, sequence_length=2000, num_models=1)
     cfg = SsvKernelConfig(block_width=1024, rows_per_strip=8, max_hit_tiles=1,
                           interpret=True)
-    engine = Havac(p_value=P_VALUE, config=cfg, backend="pallas_interpret")
+    engine = Havac(p_value=P_VALUE, config=cfg, backend="pallas_interpret",
+                   checkpoint_path=str(tmp_path / "ck.npz"))
     engine.load_phmm(models)
     # Saturate: replace projected scores with +127 everywhere → hits all over.
     engine.load_sequence(fasta_text(records), is_text=True)
@@ -244,3 +247,30 @@ def test_checkpoint_rejected_on_input_change(tmp_path):
     whole = Havac(p_value=P_VALUE, config=CFG, backend="xla")
     whole.load_phmm(models).load_sequence(db).run()
     assert_hits_equal(e1.hits(), whole.hits())
+
+
+def test_scan_files_streaming(tmp_path):
+    """Multi-file streaming scan: per-file hits equal independent runs."""
+    paths = []
+    fixtures = []
+    for i in range(3):
+        models, records = generate_planted_fixture(
+            seed=50 + i, model_length=24, sequence_length=2000, num_models=1)
+        if i == 0:
+            shared_models = models  # one model collection scans all files
+        p = tmp_path / f"db{i}.fasta"
+        p.write_text(fasta_text(records))
+        paths.append(str(p))
+        fixtures.append(records)
+
+    engine = Havac(p_value=P_VALUE, config=CFG, backend="xla")
+    engine.load_phmm(shared_models)
+    streamed = dict()
+    for path, hits in engine.scan_files(paths, prefetch=2):
+        streamed[path] = sorted(hits.as_tuples())
+
+    assert set(streamed) == set(paths)
+    for p in paths:
+        solo = Havac(p_value=P_VALUE, config=CFG, backend="xla")
+        solo.load_phmm(shared_models).load_sequence(p).run()
+        assert streamed[p] == sorted(solo.hits().as_tuples())
