@@ -9,21 +9,35 @@ boundary-carry column between column chunks and the row state between row
 chunks — stays on device as jax arrays; the only host synchronization per
 chunk is the hit-count scalar and the dirty tiles actually produced.
 
-Tile-buffer overflow is detected at collect time; the chunk is re-dispatched
-with a doubled buffer using its saved inputs (state/carry outputs of an
-overflowed dispatch are still exact — only the tile list saturates — so
-downstream chunks already in flight need no replay).
+Chunk geometry is clamped so the dirty-tile buffer covers the worst case
+(every tile dirty) within a fixed HBM budget — tile overflow is impossible by
+construction. Hit records are compacted on device and cross to the host as
+one packed array per chunk; the record/group caps adapt (re-running only the
+cheap compaction step) when a chunk is unusually hit-dense.
 """
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from havac_tpu.ops.common import SsvKernelConfig, round_up
+
+
+def _nonzero_capped(x, cap: int):
+    """Indices of the first ``cap`` nonzero elements (−1 fill), via
+    cumsum+searchsorted — ~5× faster than jnp.nonzero(size=cap) on TPU."""
+    import jax.numpy as jnp
+
+    n = x.shape[0]
+    pos = jnp.cumsum((x != 0).astype(jnp.int32))
+    idx = jnp.searchsorted(pos, jnp.arange(1, cap + 1, dtype=jnp.int32),
+                           side="left")
+    idxc = jnp.clip(idx, 0, n - 1)
+    ok = jnp.logical_and(idx < n, x[idxc] != 0)
+    return jnp.where(ok, idxc, -1)
 
 
 def _compact_tiles_impl(otiles, ometa, count, cap: int, group_cap: int):
@@ -33,27 +47,35 @@ def _compact_tiles_impl(otiles, ometa, count, cap: int, group_cap: int):
     p-values make most tiles dirty.
 
     Two-level: a full nonzero over the buffer is pathologically slow on TPU
-    (~20× the bandwidth bound), so first reduce 1024-word groups to dirty
-    flags (bandwidth-bound), nonzero the small flag vector, gather only the
-    dirty groups, and nonzero that small block. Callers retry with bigger
-    caps when nrec > cap or ngroups > group_cap."""
+    (~20× the bandwidth bound), so first reduce 8-sublane groups (1024 words,
+    a layout-preserving reduction — splitting the lane axis instead would
+    force a Mosaic relayout ~20× slower than bandwidth) to dirty flags,
+    nonzero the small flag vector, gather only the dirty groups, and nonzero
+    that small block. Stale slots beyond ``count`` are excluded via the flag
+    mask — no full-buffer masked copy. Callers retry with bigger caps when
+    nrec > cap or ngroups > group_cap."""
     import jax.numpy as jnp
 
-    G = 1024
-    maxt = otiles.shape[0]
-    flat = otiles.reshape(maxt, -1)
-    masked = jnp.where(jnp.arange(maxt)[:, None] < count, flat, 0)
-    ng = masked.size // G
-    gm = masked.reshape(ng, G)
-    flags = jnp.any(gm != 0, axis=1)
-    nrec = jnp.sum((masked != 0).astype(jnp.int32))
+    GS = 8  # sublanes per group; group = GS × 128 lanes = 1024 words
+    G = GS * 128
+    maxt, WS, _ = otiles.shape
+    groups_per_tile = WS // GS
+    ng = maxt * groups_per_tile
+    gview = otiles.reshape(ng, GS, 128)
+    flags = jnp.any(gview != 0, axis=(1, 2))
+    slot_of_group = jnp.arange(ng) // groups_per_tile
+    flags = jnp.logical_and(flags, slot_of_group < count)
     ngroups = jnp.sum(flags.astype(jnp.int32))
 
     cap_g = min(group_cap, ng)
-    (gids,) = jnp.nonzero(flags, size=cap_g, fill_value=ng)
-    gm_pad = jnp.concatenate([gm, jnp.zeros((1, G), gm.dtype)])
-    data = gm_pad[gids].reshape(-1)  # (cap_g * G,)
-    (ridx,) = jnp.nonzero(data, size=cap, fill_value=-1)
+    gids_raw = _nonzero_capped(flags.astype(jnp.int32), cap_g)
+    gids = jnp.where(gids_raw >= 0, gids_raw, ng)
+    gview_pad = jnp.concatenate(
+        [gview, jnp.zeros((1, GS, 128), gview.dtype)])
+    data = gview_pad[gids].reshape(-1)  # (cap_g * G,)
+    # Exact iff ngroups ≤ cap_g (otherwise the caller retries bigger).
+    nrec = jnp.sum((data != 0).astype(jnp.int32))
+    ridx = _nonzero_capped(data, cap)
     words = jnp.where(ridx >= 0, data[jnp.clip(ridx, 0, None)], 0)
     gsel = gids[jnp.clip(ridx, 0, None) // G]
     idx = jnp.where(ridx >= 0, gsel * G + ridx % G, -1)
@@ -83,7 +105,6 @@ class PipelinedSweep:
         self.P = scores.shape[0]
         self.W = config.block_width
         self.K = config.rows_per_strip
-        self.maxt = config.max_hit_tiles
         self.overflow_retries = 0
         self.record_cap = 1 << 14  # hit records pulled per chunk (adaptive)
         self.group_cap = 1 << 14  # dirty 1024-word groups per chunk (adaptive)
@@ -116,8 +137,10 @@ class PipelinedSweep:
         # run costs exactly one kernel compile (pad rows/columns into the
         # last chunk instead of letting it go ragged).
         P2 = round_up(self.P, K)
+        # ~8 blocks per dispatch balances kernel width against dispatch count;
+        # (measured: taller row chunks beat wider blocks at equal tile budget).
         rchunk_cap = min(max(chunk_rows, K),
-                         max(K, (self._maxt_cap // (self._nflush * 4)) * K))
+                         max(K, (self._maxt_cap // (self._nflush * 8)) * K))
         self.n_row = max(1, -(-P2 // rchunk_cap))
         self.rchunk = round_up(-(-P2 // self.n_row), K)
         strips_per_chunk = self.rchunk // K

@@ -1,0 +1,208 @@
+"""Multi-chip SWAR sweep: the production distributed path.
+
+`parallel/engine_dist.py` proves exact sequence sharding with an XLA-scan
+inner kernel; this module runs the same wavefront with the *Pallas SWAR
+kernel* per shard, so each chip sweeps at full kernel speed (~457 GCUPS on
+v5e) while seams cost one (R+1)-int `ppermute` per row chunk.
+
+Wavefront over row chunks of R rows: at scan step t, device k sweeps row
+chunk s = t − k over its whole shard with one Pallas dispatch (grid =
+shard blocks × R/30 strips), then ships the kernel's right-edge carry
+(`ocarry`, which already includes the row −1 entry) to device k+1 — the
+receiver's `icarry` is exactly the arriving seam, no stagger bookkeeping.
+Row state chains on device between steps as the kernel's packed ostate.
+
+Hit tiles are compacted to records *inside the scan step* (the same
+two-level reduction as the engine pipeline), so the stacked per-step output
+is a small packed record vector, not gigabytes of bitmap tiles.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from havac_tpu.ops.common import round_up
+from havac_tpu.ops.ssv_swar import (
+    ROWS_PER_FLUSH,
+    ROWS_PER_STRIP,
+    _ssv_swar_jit,
+    decode_swar_flat,
+    pack_symbols,
+)
+from havac_tpu.engine.pipeline import _compact_tiles_impl
+
+
+def _get_shard_map():
+    try:
+        from jax import shard_map
+        return shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+        return shard_map
+
+
+def make_swar_dist_fn(mesh: Mesh, axis: str, block_words: int,
+                      rows_per_step: int, num_chunks: int, max_hit_tiles: int,
+                      record_cap: int, group_cap: int, interpret: bool):
+    """Jitted sharded SWAR sweep.
+
+    fn(symw (D·Bs, WS, 128) int32 packed+sharded, scores (S, R/30, 30, 4)
+    int32 biased+replicated, istate (D·Bs, WS, 128) sharded)
+      → (ostate sharded, packed records (D, T, 2 + maxt + 2·cap) sharded on
+         axis 0) where T = S + D − 1.
+    """
+    shard_map = _get_shard_map()
+    R = rows_per_step
+    S = num_chunks
+    D = mesh.shape[axis]
+    T = S + D - 1
+    W3 = block_words
+    perm = [(k, k + 1) for k in range(D - 1)]
+
+    def device_fn(symw, scores_strips, istate0):
+        k = jax.lax.axis_index(axis)
+
+        def step(carry, t):
+            istate, seam_in = carry
+            s = t - k
+            active = jnp.logical_and(s >= 0, s < S)
+            sc = jax.lax.dynamic_index_in_dim(
+                scores_strips, jnp.clip(s, 0, S - 1), 0, keepdims=False)
+            ostate, ocarry, ometa, ocount, otiles = _ssv_swar_jit(
+                symw, sc, istate, seam_in, block_words=W3,
+                max_hit_tiles=max_hit_tiles, interpret=interpret)
+            istate = jnp.where(active, ostate, istate)
+            seam_out = jnp.where(active, ocarry, jnp.zeros_like(ocarry))
+            count = jnp.where(active, ocount[0], 0)
+            packed = _compact_tiles_impl(otiles, ometa, count,
+                                         cap=record_cap, group_cap=group_cap)
+            seam_next = jax.lax.ppermute(seam_out, axis, perm)
+            return (istate, seam_next), packed
+
+        init = (istate0, jnp.zeros(R + 1, jnp.int32))
+        (istate, _), packeds = jax.lax.scan(step, init, jnp.arange(T))
+        return istate, packeds[None]  # (1, T, X)
+
+    specs = dict(mesh=mesh,
+                 in_specs=(P(axis), P(), P(axis)),
+                 out_specs=(P(axis), P(axis, None, None)))
+    try:
+        fn = shard_map(device_fn, check_vma=False, **specs)
+    except TypeError:  # pragma: no cover - older jax
+        fn = shard_map(device_fn, check_rep=False, **specs)
+    return jax.jit(fn)
+
+
+class SwarDistributedSweep:
+    """Stateful multi-chip SWAR sweep (engine mesh fast path).
+
+    Shards the packed database over ``mesh[axis]``; ``run`` sweeps the whole
+    model stream in R-row wavefront chunks and returns exact global hits.
+    """
+
+    def __init__(self, codes: np.ndarray, mesh: Mesh, axis: str = "seq",
+                 block_width: int = 387072, rows_per_step: int = 2040,
+                 tile_budget_bytes: int = 3 << 30,
+                 record_cap: int = 1 << 14, group_cap: int = 1 << 13,
+                 interpret: bool = False):
+        if block_width % 3072:
+            raise ValueError("block_width must be a multiple of 3072")
+        if rows_per_step % ROWS_PER_STRIP:
+            raise ValueError("rows_per_step must be a multiple of 30")
+        self.mesh = mesh
+        self.axis = axis
+        self.W = block_width
+        self.W3 = block_width // 3
+        self.R = rows_per_step
+        self.D = mesh.shape[axis]
+        self.record_cap = record_cap
+        self.group_cap = group_cap
+        self.interpret = interpret
+
+        # Equal shards of whole blocks per device.
+        L = codes.shape[0]
+        blocks_total = -(-L // self.W)
+        shard_blocks = -(-blocks_total // self.D)
+        L2 = shard_blocks * self.D * self.W
+        padded = np.zeros(L2, dtype=np.uint8)
+        padded[:L] = codes
+        self.L = L
+        self.shard_blocks = shard_blocks
+        self.shard_width = shard_blocks * self.W
+
+        tile_bytes = self.W3 * 4
+        nflush = ROWS_PER_STRIP // ROWS_PER_FLUSH
+        ntiles = shard_blocks * (self.R // ROWS_PER_STRIP) * nflush
+        budget_tiles = max(12, tile_budget_bytes // (3 * tile_bytes))
+        if ntiles > budget_tiles:
+            raise ValueError(
+                f"{ntiles} tiles/step exceed the tile budget "
+                f"({budget_tiles}); reduce rows_per_step or raise the budget")
+        self.maxt = ntiles
+
+        self._shard = NamedSharding(mesh, P(axis))
+        self.symw_dev = jax.device_put(
+            jnp.asarray(pack_symbols(padded, self.W3)), self._shard)
+        self._fns = {}
+
+    def run(self, scores: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Sweep the full (P, 4) int8 score stream; exact global hits."""
+        P_ = scores.shape[0]
+        P2 = round_up(max(P_, 1), self.R)
+        S = P2 // self.R
+        sc = np.full((P2, 4), -128, dtype=np.int32)
+        sc[:P_] = scores.astype(np.int32)
+        sc_strips = jnp.asarray(
+            (sc + 256).reshape(S, self.R // ROWS_PER_STRIP, ROWS_PER_STRIP, 4))
+        sc_dev = jax.device_put(sc_strips, NamedSharding(self.mesh, P()))
+
+        key = S
+        if key not in self._fns:
+            self._fns[key] = make_swar_dist_fn(
+                self.mesh, self.axis, self.W3, self.R, S, self.maxt,
+                self.record_cap, self.group_cap, self.interpret)
+        istate = jax.device_put(
+            jnp.zeros_like(self.symw_dev), self._shard)
+        _, packeds = self._fns[key](self.symw_dev, sc_dev, istate)
+        packeds = np.asarray(packeds)  # (D, T, 2 + maxt + 2*cap)
+
+        cap = self.record_cap
+        maxt = self.maxt
+        S_strips = self.R // ROWS_PER_STRIP
+        all_rows, all_pos = [], []
+        for d in range(self.D):
+            for t in range(packeds.shape[1]):
+                s = t - d
+                if not (0 <= s < S):
+                    continue
+                vec = packeds[d, t]
+                n, ngroups = int(vec[0]), int(vec[1])
+                if n > cap or ngroups > self.group_cap:
+                    raise RuntimeError(
+                        f"record capacity exceeded (n={n}, groups={ngroups});"
+                        " raise record_cap/group_cap")
+                if n == 0:
+                    continue
+                ometa = vec[2:2 + maxt]
+                idx = vec[2 + maxt:2 + maxt + n].astype(np.int64)
+                words = vec[2 + maxt + cap:2 + maxt + cap + n]
+                slots = idx // self.W3
+                word_idx = idx % self.W3
+                ids = ometa[slots]
+                rows, pos = decode_swar_flat(ids, word_idx, words, S_strips,
+                                             self.W3)
+                all_rows.append(rows + s * self.R)
+                all_pos.append(pos + d * self.shard_width)
+        if not all_rows:
+            return (np.empty(0, dtype=np.int64),) * 2
+        rows = np.concatenate(all_rows)
+        pos = np.concatenate(all_pos)
+        keep = (rows < P_) & (pos < self.L)
+        rows, pos = rows[keep], pos[keep]
+        order = np.lexsort((pos, rows))
+        return rows[order], pos[order]
