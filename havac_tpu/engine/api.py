@@ -466,10 +466,38 @@ class Havac:
         import time
 
         try:
-            from havac_tpu.parallel.engine_dist import DistributedSweep
-
             scores = self.scores
             P = scores.shape[0]
+            if (self.backend in ("pallas", "pallas_interpret")
+                    and self.config.packing == 3):
+                # Production path: Pallas SWAR kernel per shard inside the
+                # shard_map wavefront (parallel/swar_dist.py).
+                from havac_tpu.parallel.swar_dist import SwarDistributedSweep
+
+                sweep = SwarDistributedSweep(
+                    self.database.codes, self.mesh, self.mesh_axis,
+                    block_width=self.config.block_width,
+                    rows_per_step=self._dist_rows_per_step_swar(),
+                    tile_budget_bytes=self.config.tile_budget_bytes,
+                    interpret=(self.backend == "pallas_interpret"
+                               or self.config.interpret))
+                self._chunks_total = 1
+                t0 = __import__("time").perf_counter()
+                rows, pos = sweep.run(scores)
+                t_sweep = __import__("time").perf_counter() - t0
+                self._hit_rows = rows
+                self._hit_positions = pos
+                self._chunks_done = 1
+                self.stats.num_chunks = 1
+                self.stats.cells = self.database.padded_length * P
+                self.stats.sweep_seconds = t_sweep
+                self.stats.num_raw_hits = int(rows.shape[0])
+                with self._state_lock:
+                    self._state = HavacRunState.COMPLETED
+                return
+
+            from havac_tpu.parallel.engine_dist import DistributedSweep
+
             cap = self.dist_hit_capacity
             while True:
                 sweep = DistributedSweep(
@@ -513,6 +541,26 @@ class Havac:
             self._error = exc
             with self._state_lock:
                 self._state = HavacRunState.ERROR
+
+    def _dist_rows_per_step_swar(self) -> int:
+        """Rows per wavefront step for the SWAR distributed path, sized so
+        the per-step tile count fits the tile budget on each shard."""
+        from havac_tpu.ops.ssv_swar import ROWS_PER_FLUSH, ROWS_PER_STRIP
+
+        W = self.config.block_width
+        D = self.mesh.shape[self.mesh_axis]
+        blocks_total = -(-self.database.padded_length // W)
+        shard_blocks = max(1, -(-blocks_total // D))
+        tile_bytes = (W // 3) * 4
+        nflush = ROWS_PER_STRIP // ROWS_PER_FLUSH
+        budget_tiles = max(nflush, self.config.tile_budget_bytes
+                           // (3 * tile_bytes))
+        strips = max(1, budget_tiles // (shard_blocks * nflush))
+        rows = strips * ROWS_PER_STRIP
+        # Never pad the model stream beyond one step, and keep the per-step
+        # carry/seam vectors modest.
+        P2 = round_up(self.scores.shape[0], ROWS_PER_STRIP)
+        return max(ROWS_PER_STRIP, min(rows, P2, 8160))
 
     def _fingerprint(self, L: int, P: int, chunk: int, rchunk: int) -> int:
         import zlib

@@ -77,3 +77,22 @@ def test_engine_mesh_end_to_end():
     single.load_phmm(models).load_sequence(fasta, is_text=True).run()
     assert len(dist.hits()) > 0
     assert sorted(dist.hits().as_tuples()) == sorted(single.hits().as_tuples())
+
+
+def test_engine_mesh_swar_backend():
+    """Mesh + SWAR backend routes through the Pallas wavefront path."""
+    from havac_tpu.ops.common import SsvKernelConfig
+
+    models, records = generate_planted_fixture(
+        seed=47, model_length=40, sequence_length=30000, num_models=2)
+    fasta = "".join(f">{n}\n{s}\n" for n, s in records)
+    cfg = SsvKernelConfig.swar(block_width=3072, interpret=True)
+    dist = Havac(p_value=0.05, backend="pallas_interpret", config=cfg,
+                 mesh=mesh8())
+    dist.load_phmm(models).load_sequence(fasta, is_text=True).run()
+    single = Havac(p_value=0.05, backend="xla",
+                   config=SsvKernelConfig(block_width=1024, rows_per_strip=8,
+                                          interpret=True))
+    single.load_phmm(models).load_sequence(fasta, is_text=True).run()
+    assert len(dist.hits()) > 0
+    assert sorted(dist.hits().as_tuples()) == sorted(single.hits().as_tuples())
