@@ -481,10 +481,12 @@ class Havac:
                     tile_budget_bytes=self.config.tile_budget_bytes,
                     interpret=(self.backend == "pallas_interpret"
                                or self.config.interpret))
+                import time
+
                 self._chunks_total = 1
-                t0 = __import__("time").perf_counter()
+                t0 = time.perf_counter()
                 rows, pos = sweep.run(scores)
-                t_sweep = __import__("time").perf_counter() - t0
+                t_sweep = time.perf_counter() - t0
                 self._hit_rows = rows
                 self._hit_positions = pos
                 self._chunks_done = 1
