@@ -40,7 +40,7 @@ class SsvKernelConfig:
     # HBM budget for the dirty-tile buffer in the pipelined engine path
     # (which sizes the buffer to the grid when it fits, making overflow
     # impossible; the reference's fixed 3.5 GiB hit buffer analog).
-    tile_budget_bytes: int = 3 << 30
+    tile_budget_bytes: int = 6 << 30
 
     def __post_init__(self) -> None:
         if self.packing == 1:

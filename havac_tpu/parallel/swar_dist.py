@@ -107,7 +107,7 @@ class SwarDistributedSweep:
 
     def __init__(self, codes: np.ndarray, mesh: Mesh, axis: str = "seq",
                  block_width: int = 387072, rows_per_step: int = 2040,
-                 tile_budget_bytes: int = 3 << 30,
+                 tile_budget_bytes: int = 6 << 30,
                  record_cap: int = 1 << 14, group_cap: int = 1 << 13,
                  interpret: bool = False):
         if block_width % 3072:
