@@ -24,6 +24,7 @@ TPU-native redesign notes:
 
 from __future__ import annotations
 
+import dataclasses
 import enum
 import logging
 import os
@@ -215,32 +216,56 @@ class Havac:
         if self.scores is None:
             raise HavacUsageError("load_phmm must be called before scan_files")
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(1, prefetch))
+        stop = threading.Event()
         _END = object()
+
+        def put(item) -> bool:
+            # Bounded put that gives up when the consumer is gone, so an
+            # abandoned generator never leaves the producer (and a parsed
+            # multi-GB database) blocked forever.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for path in fasta_paths:
+                    if stop.is_set():
+                        return
                     db = load_fasta_database(
                         path, pad_multiple=self.config.block_width,
                         seed=self.seed)
-                    q.put((path, db))
+                    if not put((path, db)):
+                        return
             except BaseException as exc:  # surfaced on the consumer side
-                q.put((None, exc))
+                put((None, exc))
             finally:
-                q.put(_END)
+                put(_END)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            path, db = item
-            if path is None:
-                raise db  # producer exception
-            self.database = db
-            self.run()
-            yield path, self.hits()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                path, db = item
+                if path is None:
+                    raise db  # producer exception
+                self.database = db
+                self.run()
+                yield path, self.hits()
+        finally:
+            stop.set()
+            while not q.empty():  # unblock a producer waiting on put()
+                try:
+                    q.get_nowait()
+                except queue_mod.Empty:
+                    break
 
     # ------------------------------------------------------------------- run
 
@@ -428,8 +453,7 @@ class Havac:
 
             cfg = self.config
             if self.backend == "pallas_interpret" and not cfg.interpret:
-                cfg = SsvKernelConfig(cfg.block_width, cfg.rows_per_strip,
-                                      cfg.max_hit_tiles, True, cfg.packing)
+                cfg = dataclasses.replace(cfg, interpret=True)
             codes = self.database.codes
             W = cfg.block_width
             if codes.shape[0] % W:
@@ -609,8 +633,7 @@ class Havac:
         if self.backend in ("pallas", "pallas_interpret"):
             cfg = self.config
             if self.backend == "pallas_interpret" and not cfg.interpret:
-                cfg = SsvKernelConfig(cfg.block_width, cfg.rows_per_strip,
-                                      cfg.max_hit_tiles, True, cfg.packing)
+                cfg = dataclasses.replace(cfg, interpret=True)
             while True:
                 try:
                     if cfg.packing == 3:
@@ -632,9 +655,8 @@ class Havac:
                             state_out.astype(np.int32))
                 except HitTileOverflow:
                     self.stats.overflow_retries += 1
-                    cfg = SsvKernelConfig(cfg.block_width, cfg.rows_per_strip,
-                                          cfg.max_hit_tiles * 2, cfg.interpret,
-                                          cfg.packing)
+                    cfg = dataclasses.replace(
+                        cfg, max_hit_tiles=cfg.max_hit_tiles * 2)
         elif self.backend == "xla":
             import jax.numpy as jnp
 

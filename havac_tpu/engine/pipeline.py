@@ -40,6 +40,19 @@ def _nonzero_capped(x, cap: int):
     return jnp.where(ok, idxc, -1)
 
 
+def _get_compact_jit():
+    global _COMPACT_JIT
+    if _COMPACT_JIT is None:
+        import jax
+
+        _COMPACT_JIT = jax.jit(_compact_tiles_impl,
+                               static_argnames=("cap", "group_cap"))
+    return _COMPACT_JIT
+
+
+_COMPACT_JIT = None
+
+
 def _compact_tiles_impl(otiles, ometa, count, cap: int, group_cap: int):
     """On-device tile→record compaction: nonzero bitmap words of the first
     ``count`` tiles as (flat index, word) pairs. Only ``cap`` records cross
@@ -121,8 +134,7 @@ class PipelinedSweep:
             self._mod = mod
             self._tile_words = self.W
             self._nflush = 1
-        self._compact = jax.jit(_compact_tiles_impl,
-                        static_argnames=("cap", "group_cap"))
+        self._compact = _get_compact_jit()
 
         # Clamp chunk geometry so a worst-case (every tile dirty) dispatch
         # fits the tile budget: with lookahead pipelining ~6 buffers of maxt
@@ -156,7 +168,7 @@ class PipelinedSweep:
         self._codes_dev = None
         self._blocks_per_chunk = self.chunk // self.W
         L2 = self.n_col * self.chunk  # uniform column chunks
-        packed_bytes = L2 * (4 // 3 if config.packing == 3 else 1)
+        packed_bytes = (L2 * 4 // 3 if config.packing == 3 else L2)
         if packed_bytes <= (1 << 32):  # 4 GiB staging budget
             padded = np.zeros(L2, dtype=np.uint8)
             padded[:self.L] = codes
@@ -212,7 +224,7 @@ class PipelinedSweep:
             max_hit_tiles=maxt, interpret=self.cfg.interpret)
 
     def _collect(self, pend) -> Tuple[np.ndarray, np.ndarray]:
-        (out, inputs, maxt, ntiles, ri, lo, Lc) = pend
+        (out, ri, lo, Lc) = pend
         ostate, ocarry, ometa, ocount, otiles = out
         r0 = ri * self.rchunk
         Pc = min(self.P, r0 + self.rchunk) - r0
@@ -285,17 +297,16 @@ class PipelinedSweep:
                     icarry = prev_col_carry.get(ri)
                     if icarry is None or icarry.shape[0] != self._rows1[ri]:
                         icarry = jnp.zeros(self._rows1[ri], jnp.int32)
-                    inputs = (symw, self._scores_dev[ri], istate, icarry)
                     # Geometry clamping guarantees ntiles <= _maxt_cap: the
                     # buffer covers the worst case and tile overflow cannot
                     # occur (record caps adapt inside _collect).
                     ntiles = B * self._scores_dev[ri].shape[0] * self._nflush
                     maxt = min(ntiles, self._maxt_cap)
-                    out = self._dispatch(*inputs, maxt)
+                    out = self._dispatch(symw, self._scores_dev[ri], istate,
+                                         icarry, maxt)
                     while len(inflight) >= lookahead:
                         inflight.pop(0).result()  # bound buffers in flight
-                    fut = pool.submit(self._collect,
-                                      (out, inputs, maxt, ntiles, ri, lo, Lc))
+                    fut = pool.submit(self._collect, (out, ri, lo, Lc))
                     futures.append(fut)
                     inflight.append(fut)
                     istate = out[0]  # chain row state on device

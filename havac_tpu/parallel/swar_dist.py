@@ -37,6 +37,14 @@ from havac_tpu.ops.ssv_swar import (
 from havac_tpu.engine.pipeline import _compact_tiles_impl
 
 
+class _RecordCapacityExceeded(RuntimeError):
+    def __init__(self, nrec: int, ngroups: int):
+        super().__init__(f"record capacity exceeded (n={nrec}, "
+                         f"groups={ngroups})")
+        self.nrec = nrec
+        self.ngroups = ngroups
+
+
 def _get_shard_map():
     try:
         from jax import shard_map
@@ -151,7 +159,22 @@ class SwarDistributedSweep:
         self._fns = {}
 
     def run(self, scores: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """Sweep the full (P, 4) int8 score stream; exact global hits."""
+        """Sweep the full (P, 4) int8 score stream; exact global hits.
+
+        Record/group caps adapt: a hit-dense run that overflows them is
+        re-swept with doubled caps (one extra compile) — same retry contract
+        as the single-chip paths."""
+        while True:
+            try:
+                return self._run_once(scores)
+            except _RecordCapacityExceeded as exc:
+                while self.record_cap < exc.nrec:
+                    self.record_cap *= 2
+                while self.group_cap < exc.ngroups:
+                    self.group_cap *= 2
+                self._fns.clear()  # caps are baked into the compiled fn
+
+    def _run_once(self, scores: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         P_ = scores.shape[0]
         P2 = round_up(max(P_, 1), self.R)
         S = P2 // self.R
@@ -183,9 +206,7 @@ class SwarDistributedSweep:
                 vec = packeds[d, t]
                 n, ngroups = int(vec[0]), int(vec[1])
                 if n > cap or ngroups > self.group_cap:
-                    raise RuntimeError(
-                        f"record capacity exceeded (n={n}, groups={ngroups});"
-                        " raise record_cap/group_cap")
+                    raise _RecordCapacityExceeded(n, ngroups)
                 if n == 0:
                     continue
                 ometa = vec[2:2 + maxt]

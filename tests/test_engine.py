@@ -274,3 +274,28 @@ def test_scan_files_streaming(tmp_path):
         solo = Havac(p_value=P_VALUE, config=CFG, backend="xla")
         solo.load_phmm(shared_models).load_sequence(p).run()
         assert streamed[p] == sorted(solo.hits().as_tuples())
+
+
+def test_scan_files_abandoned_generator_stops_producer(tmp_path):
+    """Breaking out of scan_files must not leave the prefetch thread blocked."""
+    import threading
+
+    paths = []
+    models, records = generate_planted_fixture(
+        seed=61, model_length=16, sequence_length=500, num_models=1)
+    for i in range(4):
+        p = tmp_path / f"f{i}.fasta"
+        p.write_text(fasta_text(records))
+        paths.append(str(p))
+    engine = Havac(p_value=P_VALUE, config=CFG, backend="xla")
+    engine.load_phmm(models)
+    before = threading.active_count()
+    gen = engine.scan_files(paths, prefetch=1)
+    next(gen)
+    gen.close()  # abandon mid-stream
+    import time as _time
+    for _ in range(100):
+        if threading.active_count() <= before:
+            break
+        _time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"

@@ -61,3 +61,17 @@ def test_swar_dist_ragged_padding():
     want, _ = ssv_reference(codes, scores)
     np.testing.assert_array_equal(rows, want.hit_rows)
     np.testing.assert_array_equal(pos, want.hit_positions)
+
+
+def test_swar_dist_record_cap_retry():
+    """Hit-dense runs must adapt record/group caps, not hard-fail."""
+    codes = np.zeros(2 * 3072, dtype=np.uint8)
+    scores = np.full((30, 4), 127, dtype=np.int8)  # hits everywhere
+    sweep = SwarDistributedSweep(codes, mesh(2), block_width=3072,
+                                 rows_per_step=30, record_cap=16,
+                                 group_cap=2, interpret=True)
+    rows, pos = sweep.run(scores)
+    want, _ = ssv_reference(codes, scores)
+    np.testing.assert_array_equal(rows, want.hit_rows)
+    np.testing.assert_array_equal(pos, want.hit_positions)
+    assert sweep.record_cap > 16  # caps grew
