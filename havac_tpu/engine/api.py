@@ -107,6 +107,7 @@ class Havac:
         backend: str = "auto",
         chunk_symbols: int = 1 << 24,
         chunk_rows: int = 8160,
+        strand: str = "forward",
         seed: int = 0x5A5A,
         checkpoint_path: Optional[str] = None,
         mesh=None,
@@ -132,6 +133,13 @@ class Havac:
         # must cut on strip boundaries for row-state chaining.
         K = self.config.rows_per_strip
         self.chunk_rows = round_up(max(chunk_rows, K), K)
+        # Strand handling (parity-plus over the reference, which is
+        # forward-only like nhmmer --watson, benchmark/readme.txt:63):
+        # "both" appends each record's reverse complement to the database and
+        # sweeps once; minus-strand hits map back to forward coordinates.
+        if strand not in ("forward", "both"):
+            raise HavacUsageError("strand must be 'forward' or 'both'")
+        self.strand = strand
         self.seed = seed
         # Shard-level resume (new scope vs the reference's one-shot runs,
         # SURVEY.md §5): after every completed column chunk the run state
@@ -195,6 +203,12 @@ class Havac:
             self.database = load_fasta_database(
                 src, pad_multiple=self.config.block_width, seed=self.seed,
                 is_text=is_text)
+        if self.strand == "both":
+            from havac_tpu.io.fasta import augment_with_reverse_complement
+
+            self._n_forward = self.database.num_sequences
+            self.database = augment_with_reverse_complement(
+                self.database, pad_multiple=self.config.block_width)
         log.info("loaded %d sequences, %d positions (padded %d)",
                  self.database.num_sequences,
                  int(self.database.lengths.sum()),
@@ -239,6 +253,14 @@ class Havac:
                     db = load_fasta_database(
                         path, pad_multiple=self.config.block_width,
                         seed=self.seed)
+                    if self.strand == "both":
+                        from havac_tpu.io.fasta import (
+                            augment_with_reverse_complement)
+
+                        n_fwd = db.num_sequences
+                        db = augment_with_reverse_complement(
+                            db, pad_multiple=self.config.block_width)
+                        db._n_forward = n_fwd
                     if not put((path, db)):
                         return
             except BaseException as exc:  # surfaced on the consumer side
@@ -257,6 +279,8 @@ class Havac:
                 if path is None:
                     raise db  # producer exception
                 self.database = db
+                if self.strand == "both":
+                    self._n_forward = db._n_forward
                 self.run()
                 yield path, self.hits()
         finally:
@@ -331,10 +355,28 @@ class Havac:
     def hits(self) -> ResolvedHits:
         """Resolved hits (`Havac::getHitsFromFinishedRun`,
         `host/Havac.cpp:145-187`): padding/separator hits dropped, model
-        coordinates recovered via prefix sums."""
+        coordinates recovered via prefix sums. With strand="both",
+        minus-strand hits are reported in forward coordinates with
+        strand '-'."""
         self._require_completed()
-        return resolve_hits(self._hit_rows, self._hit_positions,
-                            self.database, self.phmm_prefix)
+        resolved = resolve_hits(self._hit_rows, self._hit_positions,
+                                self.database, self.phmm_prefix)
+        if self.strand == "both":
+            n = self._n_forward
+            minus = resolved.sequence_index >= n
+            idx = np.where(minus, resolved.sequence_index - n,
+                           resolved.sequence_index)
+            lens = self.database.lengths[resolved.sequence_index]
+            pos = np.where(minus, lens - 1 - resolved.sequence_position,
+                           resolved.sequence_position)
+            resolved = ResolvedHits(
+                sequence_index=idx,
+                sequence_position=pos,
+                phmm_index=resolved.phmm_index,
+                phmm_position=resolved.phmm_position,
+                strand=np.where(minus, "-", "+").astype("U1"),
+            )
+        return resolved
 
     def _require_completed(self) -> None:
         state = self.state

@@ -35,6 +35,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="sequence positions per kernel dispatch")
     p.add_argument("--chunk-rows", type=int, default=8160,
                    help="model rows per kernel dispatch")
+    p.add_argument("--strand", default="forward",
+                   choices=["forward", "both"],
+                   help="scan the forward strand only (reference/--watson "
+                        "behavior) or both strands")
     p.add_argument("--trace", metavar="DIR", default=None,
                    help="write a JAX profiler trace of the sweep to DIR "
                         "(view with xprof/tensorboard)")
@@ -51,7 +55,8 @@ def _build_engine(args):
         logging.basicConfig(level=logging.INFO,
                             format="%(asctime)s %(name)s %(message)s")
     return Havac(p_value=args.pvalue, backend=args.backend,
-                 chunk_symbols=args.chunk_symbols, chunk_rows=args.chunk_rows)
+                 chunk_symbols=args.chunk_symbols, chunk_rows=args.chunk_rows,
+                 strand=getattr(args, "strand", "forward"))
 
 
 class _MaybeTrace:
@@ -84,13 +89,13 @@ def cmd_search(args) -> int:
 
     out = open(args.out, "w") if args.out != "-" else sys.stdout
     try:
-        out.write("#sequence\tseq_position\tmodel\tmodel_position\n")
+        out.write("#sequence\tseq_position\tmodel\tmodel_position\tstrand\n")
         names = engine.database.names
         models = engine.models
-        for si, sp, mi, mp in hits.as_tuples():
+        for si, sp, mi, mp, st in hits.as_tuples_stranded():
             model = models[mi]
             label = model.accession or model.name
-            out.write(f"{names[si]}\t{sp}\t{label}\t{mp}\n")
+            out.write(f"{names[si]}\t{sp}\t{label}\t{mp}\t{st}\n")
     finally:
         if out is not sys.stdout:
             out.close()

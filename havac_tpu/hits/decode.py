@@ -85,12 +85,22 @@ def decode_hit_tiles(
 
 @dataclass
 class ResolvedHits:
-    """Vectorized resolved hit table (columns, not per-hit objects)."""
+    """Vectorized resolved hit table (columns, not per-hit objects).
+
+    ``strand``: '+' per hit unless reverse-complement scanning produced it
+    ('-'); sequence_position is always in forward-strand coordinates.
+    """
 
     sequence_index: np.ndarray
     sequence_position: np.ndarray
     phmm_index: np.ndarray
     phmm_position: np.ndarray
+    strand: np.ndarray = None
+
+    def __post_init__(self):
+        if self.strand is None:
+            self.strand = np.full(self.sequence_index.shape[0], "+",
+                                  dtype="U1")
 
     def __len__(self) -> int:
         return int(self.sequence_index.shape[0])
@@ -104,6 +114,31 @@ class ResolvedHits:
                 self.phmm_position.tolist(),
             )
         )
+
+    def as_tuples_stranded(self):
+        return list(
+            zip(
+                self.sequence_index.tolist(),
+                self.sequence_position.tolist(),
+                self.phmm_index.tolist(),
+                self.phmm_position.tolist(),
+                self.strand.tolist(),
+            )
+        )
+
+
+def concat_hits(parts):
+    """Concatenate ResolvedHits tables."""
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return ResolvedHits(*(np.empty(0, dtype=np.int64),) * 4)
+    return ResolvedHits(
+        sequence_index=np.concatenate([p.sequence_index for p in parts]),
+        sequence_position=np.concatenate([p.sequence_position for p in parts]),
+        phmm_index=np.concatenate([p.phmm_index for p in parts]),
+        phmm_position=np.concatenate([p.phmm_position for p in parts]),
+        strand=np.concatenate([p.strand for p in parts]),
+    )
 
 
 def resolve_hits(

@@ -239,3 +239,69 @@ def unpack_2bit(packed: np.ndarray, length: int) -> np.ndarray:
     out[2::4] = (packed >> 4) & 3
     out[3::4] = (packed >> 6) & 3
     return out[:length]
+
+
+# IUPAC complement for raw FASTA bytes (case-preserving).
+_COMPLEMENT = np.arange(256, dtype=np.uint8)
+
+
+def _set_complements() -> None:
+    symmetric = [("a", "t"), ("c", "g"), ("r", "y"), ("k", "m"),
+                 ("b", "v"), ("d", "h")]
+    one_way = [("u", "a")]  # U complements to A; A still maps to T
+    for a, b in symmetric:
+        for fa, fb in ((a, b), (a.upper(), b.upper())):
+            _COMPLEMENT[ord(fa)] = ord(fb)
+            _COMPLEMENT[ord(fb)] = ord(fa)
+    for a, b in one_way:
+        _COMPLEMENT[ord(a)] = ord(b)
+        _COMPLEMENT[ord(a.upper())] = ord(b.upper())
+    # s, w, n are their own complements (identity already).
+
+
+_set_complements()
+
+
+def reverse_complement(seq: bytes) -> bytes:
+    """Reverse-complement raw FASTA bytes (IUPAC-aware, case-preserving)."""
+    arr = np.frombuffer(seq, dtype=np.uint8)
+    return _COMPLEMENT[arr[::-1]].tobytes()
+
+
+def augment_with_reverse_complement(
+    db: SequenceDatabase, pad_multiple: int = 1
+) -> SequenceDatabase:
+    """Append each sequence's reverse complement as an extra record.
+
+    The engine scans minus-strand hits by sweeping this augmented database
+    once: record i+n is the reverse complement of record i (2-bit code
+    complement is ``3 - code``), so a hit on record i+n at local position p
+    maps to forward coordinates (record i, lengths[i]-1-p, strand '-').
+    Separator/pad symbols are re-randomized with the same position-keyed
+    hash as :func:`encode_database`.
+    """
+    from havac_tpu.utils.prng import random_bits_at_positions
+
+    n = db.num_sequences
+    lengths = np.concatenate([db.lengths, db.lengths])
+    names = list(db.names) + list(db.names)
+    starts = np.concatenate([[0], np.cumsum(lengths + 1)])
+    concat_len = int(starts[-1])
+    padded_len = -(-max(concat_len, 1) // pad_multiple) * pad_multiple
+
+    codes = np.zeros(padded_len, dtype=np.uint8)
+    codes[: db.concatenated_length] = db.codes[: db.concatenated_length]
+    for i in range(n):
+        s = int(db.starts[i])
+        length = int(db.lengths[i])
+        seg = db.codes[s: s + length]
+        d = int(starts[n + i])
+        codes[d: d + length] = 3 - seg[::-1]
+    # Deterministic separator/pad symbols at their (new) absolute positions.
+    fill = np.concatenate([
+        starts[1:] - 1,  # separator after every record
+        np.arange(concat_len, padded_len, dtype=np.int64),  # padding
+    ])
+    codes[fill] = random_bits_at_positions(fill, db.seed, 2)
+    return SequenceDatabase(codes=codes, starts=starts, lengths=lengths,
+                            names=names, seed=db.seed)

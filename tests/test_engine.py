@@ -299,3 +299,42 @@ def test_scan_files_abandoned_generator_stops_producer(tmp_path):
             break
         _time.sleep(0.05)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_both_strands_scanning():
+    """strand='both' finds plants on the reverse strand at forward coords."""
+    from havac_tpu.io.fasta import reverse_complement
+
+    models, records = generate_planted_fixture(
+        seed=71, model_length=40, sequence_length=1200, num_models=1)
+    # Build a sequence whose PLANT exists only on the minus strand: take the
+    # planted sequence and reverse-complement the whole record.
+    name, seq = records[0]
+    rc_seq = reverse_complement(seq.encode()).decode()
+    fasta = f">{name}\n{rc_seq}\n"
+
+    fwd = Havac(p_value=P_VALUE, config=CFG, backend="xla")
+    fwd.load_phmm(models).load_sequence(fasta, is_text=True).run()
+    both = Havac(p_value=P_VALUE, config=CFG, backend="xla", strand="both")
+    both.load_phmm(models).load_sequence(fasta, is_text=True).run()
+
+    plus_hits = len(fwd.hits())
+    hits = both.hits()
+    minus = hits.strand == "-"
+    assert minus.sum() > plus_hits  # plants only visible on minus strand
+    # Plus-strand subset must equal the forward-only run.
+    plus = [t for t, s in zip(hits.as_tuples(), hits.strand) if s == "+"]
+    assert sorted(plus) == sorted(fwd.hits().as_tuples())
+    # Minus-strand positions reported in forward coordinates.
+    assert np.all(hits.sequence_position[minus] < len(rc_seq))
+    # Minus-strand hit set equals a forward scan of the original record.
+    orig = Havac(p_value=P_VALUE, config=CFG, backend="xla")
+    orig.load_phmm(models).load_sequence(f">{name}\n{seq}\n", is_text=True)
+    orig.run()
+    # The minus hits at forward coords, re-mapped to the rc record's own
+    # coordinates, must match the original-orientation scan's hits.
+    remapped = sorted(
+        (0, len(seq) - 1 - p, mi, mp)
+        for (si, p, mi, mp), s in zip(hits.as_tuples(), hits.strand)
+        if s == "-")
+    assert remapped == sorted(orig.hits().as_tuples())
