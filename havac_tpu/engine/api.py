@@ -108,6 +108,7 @@ class Havac:
         chunk_symbols: int = 1 << 24,
         chunk_rows: int = 8160,
         strand: str = "forward",
+        isolate_models: bool = False,
         seed: int = 0x5A5A,
         checkpoint_path: Optional[str] = None,
         mesh=None,
@@ -140,6 +141,13 @@ class Havac:
         if strand not in ("forward", "both"):
             raise HavacUsageError("strand must be 'forward' or 'both'")
         self.strand = strand
+        # Model isolation (parity-plus): zero the incoming diagonal at every
+        # model's first row, so DP chains never cross model boundaries (the
+        # reference's concatenated stream lets them, an artifact of
+        # host/phmm/PhmmPreprocessor.cpp:9-31). Also makes model-axis
+        # sharding cuts exact.
+        self.isolate_models = isolate_models
+        self.reset_rows: Optional[np.ndarray] = None
         self.seed = seed
         # Shard-level resume (new scope vs the reference's one-shot runs,
         # SURVEY.md §5): after every completed column chunk the run state
@@ -189,6 +197,9 @@ class Havac:
         self.models = models
         self.scores = project_models(models, self.p_value)
         self.phmm_prefix = model_length_prefix_sums(models)
+        if self.isolate_models:
+            self.reset_rows = np.zeros(self.scores.shape[0], dtype=bool)
+            self.reset_rows[self.phmm_prefix[:-1]] = True
         log.info("loaded %d models, %d total positions (p=%g)",
                  len(models), self.scores.shape[0], self.p_value)
         return self
@@ -452,9 +463,11 @@ class Havac:
                     r0 = ri * rchunk
                     r1 = min(P, r0 + rchunk)
                     t0 = time.perf_counter()
+                    rr = (self.reset_rows[r0:r1]
+                          if self.reset_rows is not None else None)
                     rows, pos, carry_out, row_state = self._sweep_chunk(
                         codes[lo:hi], scores[r0:r1], carry[r0:r1 + 1],
-                        row_state)
+                        row_state, rr)
                     t_sweep += time.perf_counter() - t0
                     next_carry[r0:r1 + 1] = carry_out
                     all_rows.append(rows + r0)
@@ -502,7 +515,8 @@ class Havac:
                 codes = np.pad(codes,
                                (0, round_up(codes.shape[0], W) - codes.shape[0]))
             sweep = PipelinedSweep(codes, self.scores, cfg,
-                                   self.chunk_symbols, self.chunk_rows)
+                                   self.chunk_symbols, self.chunk_rows,
+                                   reset_rows=self.reset_rows)
             self._chunks_total = sweep.n_col * sweep.n_row
 
             def progress(done):
@@ -669,6 +683,7 @@ class Havac:
         scores: np.ndarray,
         carry: np.ndarray,
         row_state: Optional[np.ndarray],
+        reset_rows: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """One kernel dispatch over (row chunk × column chunk); returns
         (hit rows, hit positions, final carry slice, final row state)."""
@@ -686,10 +701,15 @@ class Havac:
                             init_carry=carry,
                             block_width=cfg.block_width,
                             max_hit_tiles=cfg.max_hit_tiles,
-                            interpret=cfg.interpret)
+                            interpret=cfg.interpret,
+                            reset_rows=reset_rows)
                     else:
                         from havac_tpu.ops.ssv_pallas import ssv_pallas
 
+                        if reset_rows is not None:
+                            raise NotImplementedError(
+                                "isolate_models requires the SWAR kernel "
+                                "(packing=3) or the XLA backend")
                         rows, pos, state_out, carry_out = ssv_pallas(
                             codes, scores, init_state=row_state,
                             init_carry=carry, config=cfg)
@@ -713,10 +733,15 @@ class Havac:
             carry_p[: P + 1] = carry
             if row_state is None:
                 row_state = np.zeros(codes.shape[0], dtype=np.int32)
+            reset_p = None
+            if reset_rows is not None:
+                rr = np.zeros(P2, dtype=np.int32)
+                rr[:P] = np.asarray(reset_rows, dtype=np.int32)
+                reset_p = jnp.asarray(rr)
             bitmaps, state_out, carry_out = ssv_scan_xla(
                 jnp.asarray(codes), jnp.asarray(scores_p),
                 jnp.asarray(row_state.astype(np.int32)),
-                jnp.asarray(carry_p), rows_per_strip=K)
+                jnp.asarray(carry_p), reset_p, rows_per_strip=K)
             rows, pos = decode_dense_bitmaps(np.asarray(bitmaps), K)
             keep = rows < P
             return (rows[keep], pos[keep], np.asarray(carry_out)[: P + 1],

@@ -35,6 +35,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="sequence positions per kernel dispatch")
     p.add_argument("--chunk-rows", type=int, default=8160,
                    help="model rows per kernel dispatch")
+    p.add_argument("--isolate-models", action="store_true",
+                   help="reset DP chains at model boundaries (the reference's "
+                        "concatenated stream lets chains cross models)")
     p.add_argument("--strand", default="forward",
                    choices=["forward", "both"],
                    help="scan the forward strand only (reference/--watson "
@@ -56,7 +59,8 @@ def _build_engine(args):
                             format="%(asctime)s %(name)s %(message)s")
     return Havac(p_value=args.pvalue, backend=args.backend,
                  chunk_symbols=args.chunk_symbols, chunk_rows=args.chunk_rows,
-                 strand=getattr(args, "strand", "forward"))
+                 strand=getattr(args, "strand", "forward"),
+                 isolate_models=getattr(args, "isolate_models", False))
 
 
 class _MaybeTrace:

@@ -105,7 +105,7 @@ class PipelinedSweep:
 
     def __init__(self, codes: np.ndarray, scores: np.ndarray,
                  config: SsvKernelConfig, chunk_symbols: int,
-                 chunk_rows: int) -> None:
+                 chunk_rows: int, reset_rows: np.ndarray = None) -> None:
         import jax
         import jax.numpy as jnp
 
@@ -179,8 +179,11 @@ class PipelinedSweep:
                                                         self.W // 128, 128)
             self._codes_dev = jnp.asarray(blocks)
 
-        # Per-row-chunk score strips, staged once.
+        # Per-row-chunk score strips (and reset strips under model
+        # isolation), staged once.
+        self._isolate = reset_rows is not None
         self._scores_dev: List = []
+        self._reset_dev: List = []
         self._rows1: List[int] = []
         for ri in range(self.n_row):
             r0, r1 = ri * self.rchunk, min(self.P, (ri + 1) * self.rchunk)
@@ -191,6 +194,13 @@ class PipelinedSweep:
                 sc = sc + 256  # SWAR kernel takes biased scores
             self._scores_dev.append(jnp.asarray(sc.reshape(
                 self.rchunk // self.K, self.K, 4)))
+            if self._isolate:
+                rr = np.zeros(self.rchunk, dtype=np.int32)
+                rr[:Pc] = np.asarray(reset_rows[r0:r1], dtype=np.int32)
+                self._reset_dev.append(jnp.asarray(rr.reshape(
+                    self.rchunk // self.K, self.K)))
+            else:
+                self._reset_dev.append(None)
             self._rows1.append(self.rchunk + 1)
 
     # ---------------------------------------------------------- chunk prep
@@ -213,11 +223,17 @@ class PipelinedSweep:
                                                     self.W // 128, 128)
         return self.jnp.asarray(blocks), lo, hi - lo
 
-    def _dispatch(self, symw, scores_dev, istate, icarry, maxt: int):
+    def _dispatch(self, symw, scores_dev, istate, icarry, maxt: int,
+                  reset_dev=None):
         if self.cfg.packing == 3:
             return self._mod._ssv_swar_jit(
-                symw, scores_dev, istate, icarry, block_words=self.W3,
-                max_hit_tiles=maxt, interpret=self.cfg.interpret)
+                symw, scores_dev, istate, icarry, reset_dev,
+                block_words=self.W3, max_hit_tiles=maxt,
+                interpret=self.cfg.interpret, isolate=self._isolate)
+        if self._isolate:
+            raise NotImplementedError(
+                "isolate_models requires the SWAR kernel (packing=3) or the "
+                "XLA backend")
         return self._mod._ssv_pallas_jit(
             symw, scores_dev, istate, icarry,
             block_width=self.W, rows_per_strip=self.K,
@@ -303,7 +319,7 @@ class PipelinedSweep:
                     ntiles = B * self._scores_dev[ri].shape[0] * self._nflush
                     maxt = min(ntiles, self._maxt_cap)
                     out = self._dispatch(symw, self._scores_dev[ri], istate,
-                                         icarry, maxt)
+                                         icarry, maxt, self._reset_dev[ri])
                     while len(inflight) >= lookahead:
                         inflight.pop(0).result()  # bound buffers in flight
                     fut = pool.submit(self._collect, (out, ri, lo, Lc))

@@ -45,6 +45,7 @@ def ssv_reference(
     init_row_state: Optional[np.ndarray] = None,
     init_carry: Optional[np.ndarray] = None,
     return_matrix: bool = False,
+    reset_rows: Optional[np.ndarray] = None,
 ) -> Tuple[SsvResult, Optional[np.ndarray]]:
     """Run the SSV recurrence over the full (P rows × L positions) matrix.
 
@@ -54,6 +55,11 @@ def ssv_reference(
     ``init_carry`` int (P+1,) = S[j-1][-1] values entering from the left
     (zeros for a fresh run / global left edge; the left shard's final_carry
     when chunking over sequence positions).
+    ``reset_rows`` optional bool (P,): rows where the incoming diagonal state
+    is forced to zero — model-start rows under model-isolation semantics
+    (the reference's concatenated stream lets chains cross model boundaries,
+    `host/phmm/PhmmPreprocessor.cpp:9-31`; isolation removes that artifact
+    and makes model-axis sharding cuts exact).
 
     Returns (SsvResult, matrix or None). The matrix (P, L) of post-update state
     values is the per-cell debug oracle (`byCellComparator` analog,
@@ -83,12 +89,19 @@ def ssv_reference(
     carry_out[0] = row[L - 1]
     matrix = np.empty((P, L), dtype=np.int32) if return_matrix else None
 
+    reset = (np.zeros(P, dtype=bool) if reset_rows is None
+             else np.asarray(reset_rows, dtype=bool))
+
     match_table = scores.astype(np.int32)  # (P, 4)
     for j in range(P):
         m = match_table[j][symbols]
         shifted = np.empty(L, dtype=np.int32)
         shifted[0] = carry_in[j]
         shifted[1:] = row[:-1]
+        if reset[j]:
+            # Model-isolation semantics: diagonal chains do not enter this
+            # row (row j starts a new model), so the incoming state is zero.
+            shifted[:] = 0
         s = shifted + m
         hit = s >= 256
         s = np.where((s < 0) | hit, 0, s)

@@ -82,6 +82,7 @@ def unpack_state(packed: np.ndarray) -> np.ndarray:
 
 def _ssv_swar_kernel(
     scores_smem,  # (1, K, 4) int32 biased (match + 256), strip-indexed
+    reset_smem,  # (1, K) int32, strip-indexed: 1 = zero the incoming diagonal
     symw_ref,  # (1, WS, 128) int32 packed symbols, block-indexed
     istate_ref,  # (1, WS, 128) int32 packed, block-indexed
     icarry_ref,  # (ROWS1,) int32 SMEM, full
@@ -99,6 +100,7 @@ def _ssv_swar_kernel(
     *,
     K: int,
     WS: int,
+    isolate: bool,
 ):
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -167,6 +169,10 @@ def _ssv_swar_kernel(
         cin = carry_ref[rslot, j]
         stitch = (rolled_sub << 10) | cin
         shifted = jnp.where(pos00, stitch, shifted)
+        if isolate:
+            # Model-isolation: rows that start a new model take no incoming
+            # diagonal state (scalar 0/1 multiply; compiled out when off).
+            shifted = shifted * (1 - reset_smem[0, k])
 
         w = shifted + match
         t9 = w >> 9
@@ -209,17 +215,20 @@ def _ssv_swar_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_words", "max_hit_tiles", "interpret")
+    jax.jit,
+    static_argnames=("block_words", "max_hit_tiles", "interpret", "isolate"),
 )
 def _ssv_swar_jit(
     symw_blocks,  # (B, WS, 128) int32 packed
     scores_strips,  # (S, K, 4) int32 biased
     istate_blocks,  # (B, WS, 128) int32 packed
     icarry,  # (ROWS1,) int32
+    reset_strips=None,  # (S, K) int32, required when isolate=True
     *,
     block_words: int,
     max_hit_tiles: int,
     interpret: bool,
+    isolate: bool = False,
 ):
     B, WS, _ = symw_blocks.shape
     S, K, _ = scores_strips.shape
@@ -227,12 +236,15 @@ def _ssv_swar_jit(
     maxt = max_hit_tiles
 
     grid = (B, S)
-    kernel = functools.partial(_ssv_swar_kernel, K=K, WS=WS)
+    kernel = functools.partial(_ssv_swar_kernel, K=K, WS=WS, isolate=isolate)
+    if reset_strips is None:
+        reset_strips = jnp.zeros((S, K), jnp.int32)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, K, 4), lambda b, s: (s, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K), lambda b, s: (s, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, WS, 128), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, WS, 128), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -266,7 +278,7 @@ def _ssv_swar_jit(
             has_side_effects=True,
         ),
         interpret=interpret,
-    )(scores_strips, symw_blocks, istate_blocks, icarry)
+    )(scores_strips, reset_strips, symw_blocks, istate_blocks, icarry)
     return out
 
 
@@ -323,6 +335,7 @@ def ssv_swar(
     block_width: int = 129024,
     max_hit_tiles: int = 512,
     interpret: bool = False,
+    reset_rows: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Host-facing wrapper, same contract as :func:`ssv_pallas.ssv_pallas`.
 
@@ -366,14 +379,22 @@ def ssv_swar(
         ic = np.asarray(init_carry, dtype=np.int32)
         icarry[: ic.shape[0]] = ic
 
+    reset_strips = None
+    isolate = reset_rows is not None
+    if isolate:
+        rr = np.zeros(P2, dtype=np.int32)
+        rr[:P] = np.asarray(reset_rows, dtype=np.int32)
+        reset_strips = jnp.asarray(rr.reshape(S, K))
     ostate, ocarry, ometa, ocount, otiles = _ssv_swar_jit(
         jnp.asarray(symw_blocks),
         jnp.asarray(scores_strips),
         jnp.asarray(istate_blocks),
         jnp.asarray(icarry),
+        reset_strips,
         block_words=W3,
         max_hit_tiles=max_hit_tiles,
         interpret=interpret,
+        isolate=isolate,
     )
 
     count = int(ocount[0])

@@ -26,6 +26,7 @@ def ssv_scan_xla(
     scores: jax.Array,
     init_state: jax.Array,
     init_carry: jax.Array,
+    reset_rows=None,
     rows_per_strip: int = 32,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run the SSV recurrence over (P rows × L positions).
@@ -50,12 +51,16 @@ def ssv_scan_xla(
     onehot = jax.nn.one_hot(symbols.astype(jnp.int32), 4, dtype=jnp.int32)  # (L, 4)
     scores_i32 = scores.astype(jnp.int32).reshape(P // K, K, 4)
     carries = init_carry[:P].astype(jnp.int32).reshape(P // K, K)
+    if reset_rows is None:
+        resets = jnp.zeros((P // K, K), jnp.int32)
+    else:
+        resets = reset_rows.astype(jnp.int32).reshape(P // K, K)
 
     def row_step(carry, inputs):
         row, bits = carry
-        score_row, carry_in = inputs  # (4,), scalar
+        score_row, carry_in, reset = inputs  # (4,), scalar, scalar
         m = onehot @ score_row  # (L,) match scores via MXU-friendly dot
-        shifted = jnp.roll(row, 1).at[0].set(carry_in)
+        shifted = jnp.roll(row, 1).at[0].set(carry_in) * (1 - reset)
         s = shifted + m
         hit = s >= 256
         row = jnp.where((s < 0) | hit, 0, s)
@@ -63,17 +68,17 @@ def ssv_scan_xla(
         return (row, bits), row[L - 1]
 
     def strip_step(row, inputs):
-        strip_scores, strip_carries = inputs  # (K, 4), (K,)
+        strip_scores, strip_carries, strip_resets = inputs  # (K,4),(K,),(K,)
         (row, bits), tails = jax.lax.scan(
             row_step,
             (row, jnp.zeros_like(row)),
-            (strip_scores, strip_carries),
+            (strip_scores, strip_carries, strip_resets),
         )
         return row, (bits, tails)
 
     row0 = init_state.astype(jnp.int32)
     final_row, (bitmaps, tails) = jax.lax.scan(
-        strip_step, row0, (scores_i32, carries)
+        strip_step, row0, (scores_i32, carries, resets)
     )
     final_carry = jnp.concatenate(
         [init_state[-1:].astype(jnp.int32), tails.reshape(P)]

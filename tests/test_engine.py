@@ -338,3 +338,38 @@ def test_both_strands_scanning():
         for (si, p, mi, mp), s in zip(hits.as_tuples(), hits.strand)
         if s == "-")
     assert remapped == sorted(orig.hits().as_tuples())
+
+
+def test_isolate_models_matches_independent_runs():
+    """isolate_models: hits equal running each model independently (chains
+    never cross model boundaries) — on both XLA and SWAR backends."""
+    from havac_tpu.ops.common import SsvKernelConfig as _Cfg
+
+    models, records = generate_planted_fixture(
+        seed=91, model_length=36, sequence_length=4000, num_models=3)
+    fasta = fasta_text(records)
+
+    def run(backend, config, **kw):
+        e = Havac(p_value=P_VALUE, config=config, backend=backend, **kw)
+        e.load_phmm(models).load_sequence(fasta, is_text=True).run()
+        return e
+
+    iso_xla = run("xla", CFG, isolate_models=True)
+    swar_cfg = _Cfg.swar(block_width=3072, interpret=True)
+    iso_swar = run("pallas_interpret", swar_cfg, isolate_models=True)
+    assert_hits_equal(iso_xla.hits(), iso_swar.hits())
+
+    # Equivalent to scanning each model alone.
+    expected = []
+    for m in models:
+        solo = run("xla", CFG)
+        solo.load_phmm([m]).load_sequence(fasta, is_text=True)
+        solo.run()
+        mi = models.index(m)
+        expected += [(si, sp, mi, mp)
+                     for si, sp, _, mp in solo.hits().as_tuples()]
+    assert sorted(iso_xla.hits().as_tuples()) == sorted(expected)
+
+    # And differs from the concatenated-stream default when chains cross.
+    joined = run("xla", CFG)
+    assert len(joined.hits()) >= len(iso_xla.hits())
