@@ -542,41 +542,90 @@ class Havac:
             with self._state_lock:
                 self._state = HavacRunState.ERROR
 
+    def _finish_distributed(self, rows, pos, P: int, t_sweep: float) -> None:
+        self._hit_rows = rows
+        self._hit_positions = pos
+        self._chunks_done = 1
+        self.stats.num_chunks = 1
+        self.stats.cells = self.database.padded_length * P
+        self.stats.sweep_seconds = t_sweep
+        self.stats.num_raw_hits = int(rows.shape[0])
+        with self._state_lock:
+            self._state = HavacRunState.COMPLETED
+
     def _run_loop_distributed(self) -> None:
         import time
 
         try:
             scores = self.scores
             P = scores.shape[0]
-            if (self.backend in ("pallas", "pallas_interpret")
-                    and self.config.packing == 3):
-                # Production path: Pallas SWAR kernel per shard inside the
-                # shard_map wavefront (parallel/swar_dist.py).
-                from havac_tpu.parallel.swar_dist import SwarDistributedSweep
+            is_swar = (self.backend in ("pallas", "pallas_interpret")
+                       and self.config.packing == 3)
+            if (is_swar and "model" in getattr(self.mesh, "axis_names", ())
+                    and dict(self.mesh.shape).get("model", 1) > 1):
+                # 2D (sequence × model) sharding (BASELINE config 4): model
+                # groups across one axis (cuts at model boundaries, exact
+                # under isolation), sequence wavefront across the other.
+                if not self.isolate_models:
+                    raise HavacUsageError(
+                        "2D (sequence × model) sharding requires "
+                        "isolate_models=True: model-axis cuts stop DP "
+                        "chains at group boundaries")
+                from havac_tpu.parallel.swar_dist2d import Swar2DSweep
 
-                sweep = SwarDistributedSweep(
-                    self.database.codes, self.mesh, self.mesh_axis,
+                if self._abort_event.is_set():
+                    with self._state_lock:
+                        self._state = HavacRunState.ABORTED
+                    return
+                sweep2d = Swar2DSweep(
+                    self.database.codes, self.mesh, self.mesh_axis, "model",
                     block_width=self.config.block_width,
                     rows_per_step=self._dist_rows_per_step_swar(),
                     tile_budget_bytes=self.config.tile_budget_bytes,
                     interpret=(self.backend == "pallas_interpret"
                                or self.config.interpret))
-                import time
-
                 self._chunks_total = 1
                 t0 = time.perf_counter()
-                rows, pos = sweep.run(scores)
-                t_sweep = time.perf_counter() - t0
-                self._hit_rows = rows
-                self._hit_positions = pos
-                self._chunks_done = 1
-                self.stats.num_chunks = 1
-                self.stats.cells = self.database.padded_length * P
-                self.stats.sweep_seconds = t_sweep
-                self.stats.num_raw_hits = int(rows.shape[0])
-                with self._state_lock:
-                    self._state = HavacRunState.COMPLETED
+                rows, pos = sweep2d.run(scores, self.phmm_prefix,
+                                        self.reset_rows)
+                self._finish_distributed(rows, pos, P,
+                                         time.perf_counter() - t0)
                 return
+
+            if is_swar:
+                # Production path: Pallas SWAR kernel per shard inside the
+                # shard_map wavefront (parallel/swar_dist.py). Falls back to
+                # the XLA wavefront when the shard geometry exceeds the tile
+                # budget (very large per-chip databases need column chunking,
+                # which only the XLA path does today).
+                from havac_tpu.parallel.swar_dist import SwarDistributedSweep
+
+                try:
+                    sweep = SwarDistributedSweep(
+                        self.database.codes, self.mesh, self.mesh_axis,
+                        block_width=self.config.block_width,
+                        rows_per_step=self._dist_rows_per_step_swar(),
+                        tile_budget_bytes=self.config.tile_budget_bytes,
+                        interpret=(self.backend == "pallas_interpret"
+                                   or self.config.interpret))
+                except ValueError as exc:
+                    log.warning("SWAR mesh path unavailable (%s); falling "
+                                "back to the XLA wavefront", exc)
+                    sweep = None
+                if sweep is not None:
+                    # One sharded dispatch: abort is honored at this boundary
+                    # only (the reference's abort is similarly best-effort,
+                    # host/Havac.cpp:100-102).
+                    if self._abort_event.is_set():
+                        with self._state_lock:
+                            self._state = HavacRunState.ABORTED
+                        return
+                    self._chunks_total = 1
+                    t0 = time.perf_counter()
+                    rows, pos = sweep.run(scores)
+                    self._finish_distributed(rows, pos, P,
+                                             time.perf_counter() - t0)
+                    return
 
             from havac_tpu.parallel.engine_dist import DistributedSweep
 

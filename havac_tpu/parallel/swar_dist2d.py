@@ -1,0 +1,251 @@
+"""2D (sequence × model) sharded SWAR sweep — BASELINE config 4.
+
+Extends the 1-D wavefront (`parallel/swar_dist.py`) with a model axis: the
+model collection is partitioned into contiguous groups of whole models, one
+group per model-mesh column; every column runs an independent sequence-axis
+wavefront over the same (replicated-over-model, sharded-over-seq) database.
+There is **no communication on the model axis** — groups are independent
+because cuts land on model boundaries and model isolation
+(`reset_rows`, see ops/reference.py) guarantees no DP chain crosses a cut.
+2D sharding therefore REQUIRES isolate-models semantics; the engine enforces
+it.
+
+Group row ranges are padded to a common chunk count so every device compiles
+one program; pad rows carry the -128 never-hit score and their hits are
+filtered by each group's true row count at decode.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from havac_tpu.ops.common import round_up
+from havac_tpu.ops.ssv_swar import (
+    ROWS_PER_FLUSH,
+    ROWS_PER_STRIP,
+    _ssv_swar_jit,
+    decode_swar_flat,
+    pack_symbols,
+)
+from havac_tpu.engine.pipeline import _compact_tiles_impl
+from havac_tpu.parallel.swar_dist import _RecordCapacityExceeded, _get_shard_map
+
+
+def partition_models(prefix_sums: np.ndarray, num_groups: int) -> List[int]:
+    """Split the concatenated model stream into ``num_groups`` contiguous
+    groups of whole models, balancing total rows. Returns the group-start
+    model indices (length num_groups + 1, first 0, last n_models)."""
+    prefix = np.asarray(prefix_sums, dtype=np.int64)
+    total = int(prefix[-1])
+    n_models = len(prefix) - 1
+    bounds = [0]
+    for g in range(1, num_groups):
+        target = total * g // num_groups
+        m = int(np.searchsorted(prefix, target, side="left"))
+        m = max(bounds[-1], min(m, n_models))
+        bounds.append(m)
+    bounds.append(n_models)
+    return bounds
+
+
+def make_swar_dist2d_fn(mesh: Mesh, seq_axis: str, model_axis: str,
+                        block_words: int, rows_per_step: int,
+                        num_chunks: int, max_hit_tiles: int,
+                        record_cap: int, group_cap: int, interpret: bool):
+    """fn(symw (D_seq·Bs, WS, 128) P(seq), scores (D_m, S, strips, 30, 4)
+    P(model), resets (D_m, S, strips·30) P(model), istate (D_seq·Bs, WS, 128)
+    P(seq)) → packed records (D_m, D_seq, T, X)."""
+    shard_map = _get_shard_map()
+    R = rows_per_step
+    S = num_chunks
+    D = mesh.shape[seq_axis]
+    T = S + D - 1
+    W3 = block_words
+    perm = [(k, k + 1) for k in range(D - 1)]
+
+    def device_fn(symw, scores_strips, reset_strips, istate0):
+        k = jax.lax.axis_index(seq_axis)
+        scores_strips = scores_strips[0]  # (S, strips, 30, 4) local group
+        reset_strips = reset_strips[0]  # (S, strips*30)
+
+        def step(carry, t):
+            istate, seam_in = carry
+            s = t - k
+            active = jnp.logical_and(s >= 0, s < S)
+            sc = jax.lax.dynamic_index_in_dim(
+                scores_strips, jnp.clip(s, 0, S - 1), 0, keepdims=False)
+            rr = jax.lax.dynamic_index_in_dim(
+                reset_strips, jnp.clip(s, 0, S - 1), 0,
+                keepdims=False).reshape(R // ROWS_PER_STRIP, ROWS_PER_STRIP)
+            ostate, ocarry, ometa, ocount, otiles = _ssv_swar_jit(
+                symw, sc, istate, seam_in, rr, block_words=W3,
+                max_hit_tiles=max_hit_tiles, interpret=interpret,
+                isolate=True)
+            istate = jnp.where(active, ostate, istate)
+            seam_out = jnp.where(active, ocarry, jnp.zeros_like(ocarry))
+            count = jnp.where(active, ocount[0], 0)
+            packed = _compact_tiles_impl(otiles, ometa, count,
+                                         cap=record_cap, group_cap=group_cap)
+            seam_next = jax.lax.ppermute(seam_out, seq_axis, perm)
+            return (istate, seam_next), packed
+
+        init = (istate0, jnp.zeros(R + 1, jnp.int32))
+        _, packeds = jax.lax.scan(step, init, jnp.arange(T))
+        return packeds[None, None]  # (1, 1, T, X)
+
+    specs = dict(mesh=mesh,
+                 in_specs=(P(seq_axis), P(model_axis), P(model_axis),
+                           P(seq_axis)),
+                 out_specs=P(model_axis, seq_axis, None, None))
+    try:
+        fn = shard_map(device_fn, check_vma=False, **specs)
+    except TypeError:  # pragma: no cover - older jax
+        fn = shard_map(device_fn, check_rep=False, **specs)
+    return jax.jit(fn)
+
+
+class Swar2DSweep:
+    """Stateful 2D-sharded SWAR sweep (engine mesh fast path, config 4)."""
+
+    def __init__(self, codes: np.ndarray, mesh: Mesh, seq_axis: str = "seq",
+                 model_axis: str = "model", block_width: int = 387072,
+                 rows_per_step: int = 2040,
+                 tile_budget_bytes: int = 6 << 30,
+                 record_cap: int = 1 << 14, group_cap: int = 1 << 13,
+                 interpret: bool = False):
+        if block_width % 3072:
+            raise ValueError("block_width must be a multiple of 3072")
+        if rows_per_step % ROWS_PER_STRIP:
+            raise ValueError("rows_per_step must be a multiple of 30")
+        self.mesh = mesh
+        self.seq_axis = seq_axis
+        self.model_axis = model_axis
+        self.W = block_width
+        self.W3 = block_width // 3
+        self.R = rows_per_step
+        self.D_seq = mesh.shape[seq_axis]
+        self.D_model = mesh.shape[model_axis]
+        self.record_cap = record_cap
+        self.group_cap = group_cap
+        self.interpret = interpret
+
+        L = codes.shape[0]
+        blocks_total = -(-L // self.W)
+        shard_blocks = -(-blocks_total // self.D_seq)
+        L2 = shard_blocks * self.D_seq * self.W
+        padded = np.zeros(L2, dtype=np.uint8)
+        padded[:L] = codes
+        self.L = L
+        self.shard_blocks = shard_blocks
+        self.shard_width = shard_blocks * self.W
+
+        tile_bytes = self.W3 * 4
+        nflush = ROWS_PER_STRIP // ROWS_PER_FLUSH
+        ntiles = shard_blocks * (self.R // ROWS_PER_STRIP) * nflush
+        budget_tiles = max(12, tile_budget_bytes // (3 * tile_bytes))
+        if ntiles > budget_tiles:
+            raise ValueError(
+                f"{ntiles} tiles/step exceed the tile budget "
+                f"({budget_tiles}); reduce rows_per_step or raise the budget")
+        self.maxt = ntiles
+
+        self._seq_shard = NamedSharding(mesh, P(seq_axis))
+        self.symw_dev = jax.device_put(
+            jnp.asarray(pack_symbols(padded, self.W3)), self._seq_shard)
+        self._fns = {}
+
+    def run(self, scores: np.ndarray, prefix_sums: np.ndarray,
+            reset_rows: Optional[np.ndarray] = None
+            ) -> Tuple[np.ndarray, np.ndarray]:
+        """Sweep; ``prefix_sums`` are the model-length prefix sums (cut
+        points). ``reset_rows`` defaults to isolating every model (required
+        for 2D exactness)."""
+        while True:
+            try:
+                return self._run_once(scores, prefix_sums, reset_rows)
+            except _RecordCapacityExceeded as exc:
+                while self.record_cap < exc.nrec:
+                    self.record_cap *= 2
+                while self.group_cap < exc.ngroups:
+                    self.group_cap *= 2
+                self._fns.clear()
+
+    def _run_once(self, scores, prefix_sums, reset_rows):
+        P_ = scores.shape[0]
+        prefix = np.asarray(prefix_sums, dtype=np.int64)
+        if reset_rows is None:
+            reset_rows = np.zeros(P_, dtype=bool)
+            reset_rows[prefix[:-1]] = True
+        bounds = partition_models(prefix, self.D_model)
+        g_row0 = [int(prefix[bounds[g]]) for g in range(self.D_model)]
+        g_rows = [int(prefix[bounds[g + 1]]) - g_row0[g]
+                  for g in range(self.D_model)]
+        S = max(1, max(round_up(max(r, 1), self.R) // self.R
+                       for r in g_rows))
+        rows_pad = S * self.R
+
+        sc_g = np.full((self.D_model, rows_pad, 4), -128, dtype=np.int32)
+        rr_g = np.zeros((self.D_model, rows_pad), dtype=np.int32)
+        for g in range(self.D_model):
+            r0, nr = g_row0[g], g_rows[g]
+            sc_g[g, :nr] = scores[r0:r0 + nr].astype(np.int32)
+            rr_g[g, :nr] = reset_rows[r0:r0 + nr]
+            rr_g[g, 0] = 1  # group start is always a model start
+        strips = self.R // ROWS_PER_STRIP
+        sc_dev = jax.device_put(
+            jnp.asarray((sc_g + 256).reshape(self.D_model, S, strips,
+                                             ROWS_PER_STRIP, 4)),
+            NamedSharding(self.mesh, P(self.model_axis)))
+        rr_dev = jax.device_put(
+            jnp.asarray(rr_g.reshape(self.D_model, S, self.R)),
+            NamedSharding(self.mesh, P(self.model_axis)))
+
+        if S not in self._fns:
+            self._fns[S] = make_swar_dist2d_fn(
+                self.mesh, self.seq_axis, self.model_axis, self.W3, self.R,
+                S, self.maxt, self.record_cap, self.group_cap, self.interpret)
+        istate = jax.device_put(jnp.zeros_like(self.symw_dev),
+                                self._seq_shard)
+        packeds = np.asarray(self._fns[S](self.symw_dev, sc_dev, rr_dev,
+                                          istate))
+
+        cap = self.record_cap
+        maxt = self.maxt
+        all_rows, all_pos = [], []
+        for g in range(self.D_model):
+            for d in range(self.D_seq):
+                for t in range(packeds.shape[2]):
+                    s = t - d
+                    if not (0 <= s < S):
+                        continue
+                    vec = packeds[g, d, t]
+                    n, ngroups = int(vec[0]), int(vec[1])
+                    if n > cap or ngroups > self.group_cap:
+                        raise _RecordCapacityExceeded(n, ngroups)
+                    if n == 0:
+                        continue
+                    ometa = vec[2:2 + maxt]
+                    idx = vec[2 + maxt:2 + maxt + n].astype(np.int64)
+                    words = vec[2 + maxt + cap:2 + maxt + cap + n]
+                    slots = idx // self.W3
+                    word_idx = idx % self.W3
+                    ids = ometa[slots]
+                    rows, pos = decode_swar_flat(ids, word_idx, words, strips,
+                                                 self.W3)
+                    rows = rows + s * self.R
+                    keep = rows < g_rows[g]
+                    all_rows.append(rows[keep] + g_row0[g])
+                    all_pos.append(pos[keep] + d * self.shard_width)
+        if not all_rows:
+            return (np.empty(0, dtype=np.int64),) * 2
+        rows = np.concatenate(all_rows)
+        pos = np.concatenate(all_pos)
+        keep = pos < self.L
+        rows, pos = rows[keep], pos[keep]
+        order = np.lexsort((pos, rows))
+        return rows[order], pos[order]

@@ -13,7 +13,7 @@ import pytest
 import jax
 from jax.sharding import Mesh
 
-from havac_tpu.engine import Havac
+from havac_tpu.engine import Havac, HavacUsageError
 from havac_tpu.io.fasta import load_fasta_database
 from havac_tpu.ops.common import SsvKernelConfig
 from havac_tpu.ops.reference import ssv_reference
@@ -95,4 +95,55 @@ def test_engine_mesh_swar_backend():
                                           interpret=True))
     single.load_phmm(models).load_sequence(fasta, is_text=True).run()
     assert len(dist.hits()) > 0
+    assert sorted(dist.hits().as_tuples()) == sorted(single.hits().as_tuples())
+
+
+def test_engine_mesh_2d_swar():
+    """2D mesh + isolate_models routes through Swar2DSweep, exact vs the
+    isolated single-device run."""
+    from havac_tpu.ops.common import SsvKernelConfig
+
+    models, records = generate_planted_fixture(
+        seed=53, model_length=30, sequence_length=20000, num_models=4)
+    fasta = "".join(f">{n}\n{s}\n" for n, s in records)
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh2 = Mesh(devs, ("seq", "model"))
+    cfg = SsvKernelConfig.swar(block_width=3072, interpret=True)
+    dist = Havac(p_value=0.05, backend="pallas_interpret", config=cfg,
+                 mesh=mesh2, isolate_models=True)
+    dist.load_phmm(models).load_sequence(fasta, is_text=True).run()
+
+    single = Havac(p_value=0.05, backend="xla",
+                   config=SsvKernelConfig(block_width=1024, rows_per_strip=8,
+                                          interpret=True),
+                   isolate_models=True)
+    single.load_phmm(models).load_sequence(fasta, is_text=True).run()
+    assert len(dist.hits()) > 0
+    assert sorted(dist.hits().as_tuples()) == sorted(single.hits().as_tuples())
+
+    # Without isolation the 2D path must refuse.
+    bad = Havac(p_value=0.05, backend="pallas_interpret", config=cfg,
+                mesh=mesh2)
+    bad.load_phmm(models).load_sequence(fasta, is_text=True)
+    with pytest.raises(HavacUsageError):
+        bad.run()
+
+
+def test_engine_mesh_fallback_to_xla_on_budget():
+    """A tile budget too small for the SWAR mesh path falls back to the XLA
+    wavefront instead of erroring."""
+    from havac_tpu.ops.common import SsvKernelConfig
+
+    models, records = generate_planted_fixture(
+        seed=59, model_length=24, sequence_length=20000, num_models=2)
+    fasta = "".join(f">{n}\n{s}\n" for n, s in records)
+    cfg = SsvKernelConfig.swar(block_width=3072, interpret=True)
+    cfg = __import__("dataclasses").replace(cfg, tile_budget_bytes=1024)
+    dist = Havac(p_value=0.05, backend="pallas_interpret", config=cfg,
+                 mesh=mesh8(), dist_rows_per_step=32)
+    dist.load_phmm(models).load_sequence(fasta, is_text=True).run()
+    single = Havac(p_value=0.05, backend="xla",
+                   config=SsvKernelConfig(block_width=1024, rows_per_strip=8,
+                                          interpret=True))
+    single.load_phmm(models).load_sequence(fasta, is_text=True).run()
     assert sorted(dist.hits().as_tuples()) == sorted(single.hits().as_tuples())
