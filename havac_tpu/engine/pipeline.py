@@ -197,8 +197,7 @@ class PipelinedSweep:
             if self._isolate:
                 rr = np.zeros(self.rchunk, dtype=np.int32)
                 rr[:Pc] = np.asarray(reset_rows[r0:r1], dtype=np.int32)
-                self._reset_dev.append(jnp.asarray(rr.reshape(
-                    self.rchunk // self.K, self.K)))
+                self._reset_dev.append(jnp.asarray(rr))
             else:
                 self._reset_dev.append(None)
             self._rows1.append(self.rchunk + 1)

@@ -82,7 +82,7 @@ def unpack_state(packed: np.ndarray) -> np.ndarray:
 
 def _ssv_swar_kernel(
     scores_smem,  # (1, K, 4) int32 biased (match + 256), strip-indexed
-    reset_smem,  # (1, K) int32, strip-indexed: 1 = zero the incoming diagonal
+    reset_smem,  # (ROWS,) int32, full: 1 = zero the incoming diagonal
     symw_ref,  # (1, WS, 128) int32 packed symbols, block-indexed
     istate_ref,  # (1, WS, 128) int32 packed, block-indexed
     icarry_ref,  # (ROWS1,) int32 SMEM, full
@@ -172,7 +172,7 @@ def _ssv_swar_kernel(
         if isolate:
             # Model-isolation: rows that start a new model take no incoming
             # diagonal state (scalar 0/1 multiply; compiled out when off).
-            shifted = shifted * (1 - reset_smem[0, k])
+            shifted = shifted * (1 - reset_smem[j])
 
         w = shifted + match
         t9 = w >> 9
@@ -223,7 +223,7 @@ def _ssv_swar_jit(
     scores_strips,  # (S, K, 4) int32 biased
     istate_blocks,  # (B, WS, 128) int32 packed
     icarry,  # (ROWS1,) int32
-    reset_strips=None,  # (S, K) int32, required when isolate=True
+    reset_rows_arr=None,  # (S·K,) int32, required when isolate=True
     *,
     block_words: int,
     max_hit_tiles: int,
@@ -237,14 +237,14 @@ def _ssv_swar_jit(
 
     grid = (B, S)
     kernel = functools.partial(_ssv_swar_kernel, K=K, WS=WS, isolate=isolate)
-    if reset_strips is None:
-        reset_strips = jnp.zeros((S, K), jnp.int32)
+    if reset_rows_arr is None:
+        reset_rows_arr = jnp.zeros(S * K, jnp.int32)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, K, 4), lambda b, s: (s, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K), lambda b, s: (s, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, WS, 128), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, WS, 128), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -278,7 +278,7 @@ def _ssv_swar_jit(
             has_side_effects=True,
         ),
         interpret=interpret,
-    )(scores_strips, reset_strips, symw_blocks, istate_blocks, icarry)
+    )(scores_strips, reset_rows_arr, symw_blocks, istate_blocks, icarry)
     return out
 
 
@@ -379,18 +379,18 @@ def ssv_swar(
         ic = np.asarray(init_carry, dtype=np.int32)
         icarry[: ic.shape[0]] = ic
 
-    reset_strips = None
+    reset_arr = None
     isolate = reset_rows is not None
     if isolate:
         rr = np.zeros(P2, dtype=np.int32)
         rr[:P] = np.asarray(reset_rows, dtype=np.int32)
-        reset_strips = jnp.asarray(rr.reshape(S, K))
+        reset_arr = jnp.asarray(rr)
     ostate, ocarry, ometa, ocount, otiles = _ssv_swar_jit(
         jnp.asarray(symw_blocks),
         jnp.asarray(scores_strips),
         jnp.asarray(istate_blocks),
         jnp.asarray(icarry),
-        reset_strips,
+        reset_arr,
         block_words=W3,
         max_hit_tiles=max_hit_tiles,
         interpret=interpret,

@@ -80,8 +80,7 @@ def make_swar_dist2d_fn(mesh: Mesh, seq_axis: str, model_axis: str,
             sc = jax.lax.dynamic_index_in_dim(
                 scores_strips, jnp.clip(s, 0, S - 1), 0, keepdims=False)
             rr = jax.lax.dynamic_index_in_dim(
-                reset_strips, jnp.clip(s, 0, S - 1), 0,
-                keepdims=False).reshape(R // ROWS_PER_STRIP, ROWS_PER_STRIP)
+                reset_strips, jnp.clip(s, 0, S - 1), 0, keepdims=False)
             ostate, ocarry, ometa, ocount, otiles = _ssv_swar_jit(
                 symw, sc, istate, seam_in, rr, block_words=W3,
                 max_hit_tiles=max_hit_tiles, interpret=interpret,
