@@ -82,10 +82,32 @@ def unpack_state(packed: np.ndarray) -> np.ndarray:
 
 def _ssv_swar_kernel(
     scores_smem,  # (1, K, 4) int32 biased (match + 256), strip-indexed
-    reset_smem,  # (ROWS,) int32, full: 1 = zero the incoming diagonal
     symw_ref,  # (1, WS, 128) int32 packed symbols, block-indexed
     istate_ref,  # (1, WS, 128) int32 packed, block-indexed
     icarry_ref,  # (ROWS1,) int32 SMEM, full
+    *refs,  # [reset_smem (ROWS,) SMEM iff isolate] + outputs + scratch
+    K: int,
+    WS: int,
+    isolate: bool,
+):
+    if isolate:
+        reset_smem, *refs = refs
+    (ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref, state_ref,
+     bits_ref, carry_ref, ind_refs_1, ind_refs_2, ind_refs_3, cnt_ref,
+     dma_sem) = refs
+    _ssv_swar_body(scores_smem, symw_ref, istate_ref, icarry_ref,
+                   ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref,
+                   state_ref, bits_ref, carry_ref, ind_refs_1, ind_refs_2,
+                   ind_refs_3, cnt_ref, dma_sem,
+                   reset_smem if isolate else None, K=K, WS=WS,
+                   isolate=isolate)
+
+
+def _ssv_swar_body(
+    scores_smem,
+    symw_ref,
+    istate_ref,
+    icarry_ref,
     ostate_ref,  # (1, WS, 128) int32 packed, block-indexed
     ocarry_ref,  # (ROWS1,) int32 SMEM, full
     ometa_ref,  # (MAXT,) int32 SMEM, full
@@ -97,6 +119,7 @@ def _ssv_swar_kernel(
     ind_refs_1, ind_refs_2, ind_refs_3,  # (WS,128) int32 VMEM indicator planes
     cnt_ref,  # (1,) int32 SMEM
     dma_sem,
+    reset_smem,  # (ROWS,) int32 SMEM or None
     *,
     K: int,
     WS: int,
@@ -237,18 +260,22 @@ def _ssv_swar_jit(
 
     grid = (B, S)
     kernel = functools.partial(_ssv_swar_kernel, K=K, WS=WS, isolate=isolate)
-    if reset_rows_arr is None:
-        reset_rows_arr = jnp.zeros(S * K, jnp.int32)
+    in_specs = [
+        pl.BlockSpec((1, K, 4), lambda b, s: (s, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, WS, 128), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, WS, 128), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    inputs = [scores_strips, symw_blocks, istate_blocks, icarry]
+    if isolate:
+        if reset_rows_arr is None:
+            reset_rows_arr = jnp.zeros(S * K, jnp.int32)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(reset_rows_arr)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, K, 4), lambda b, s: (s, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, WS, 128), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, WS, 128), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, WS, 128), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -278,7 +305,7 @@ def _ssv_swar_jit(
             has_side_effects=True,
         ),
         interpret=interpret,
-    )(scores_strips, reset_rows_arr, symw_blocks, istate_blocks, icarry)
+    )(*inputs)
     return out
 
 
