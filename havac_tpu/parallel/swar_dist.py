@@ -56,13 +56,19 @@ def _get_shard_map():
 
 def make_swar_dist_fn(mesh: Mesh, axis: str, block_words: int,
                       rows_per_step: int, num_chunks: int, max_hit_tiles: int,
-                      record_cap: int, group_cap: int, interpret: bool):
+                      record_cap: int, group_cap: int, interpret: bool,
+                      col_chunks: int = 1):
     """Jitted sharded SWAR sweep.
 
     fn(symw (D·Bs, WS, 128) int32 packed+sharded, scores (S, R/30, 30, 4)
     int32 biased+replicated, istate (D·Bs, WS, 128) sharded)
-      → (ostate sharded, packed records (D, T, 2 + maxt + 2·cap) sharded on
-         axis 0) where T = S + D − 1.
+      → (ostate sharded, packed records (D, T, CC, 2 + maxt + 2·cap) sharded
+         on axis 0) where T = S + D − 1 and CC = ``col_chunks``.
+
+    ``col_chunks`` > 1 sweeps each shard in column sub-ranges per wavefront
+    step, chaining the kernel's carry between them — the dirty-tile buffer
+    then covers only one sub-range, so arbitrarily large per-chip shards fit
+    the tile budget (the reference's serial segment sweep, one level up).
     """
     shard_map = _get_shard_map()
     R = rows_per_step
@@ -70,10 +76,13 @@ def make_swar_dist_fn(mesh: Mesh, axis: str, block_words: int,
     D = mesh.shape[axis]
     T = S + D - 1
     W3 = block_words
+    CC = col_chunks
     perm = [(k, k + 1) for k in range(D - 1)]
 
     def device_fn(symw, scores_strips, istate0):
         k = jax.lax.axis_index(axis)
+        Bs = symw.shape[0]
+        Bc = Bs // CC  # shard blocks per column chunk (constructor pads)
 
         def step(carry, t):
             istate, seam_in = carry
@@ -81,20 +90,30 @@ def make_swar_dist_fn(mesh: Mesh, axis: str, block_words: int,
             active = jnp.logical_and(s >= 0, s < S)
             sc = jax.lax.dynamic_index_in_dim(
                 scores_strips, jnp.clip(s, 0, S - 1), 0, keepdims=False)
-            ostate, ocarry, ometa, ocount, otiles = _ssv_swar_jit(
-                symw, sc, istate, seam_in, block_words=W3,
-                max_hit_tiles=max_hit_tiles, interpret=interpret)
-            istate = jnp.where(active, ostate, istate)
+
+            def col_chunk(carry_c, c):
+                symw_c = jax.lax.dynamic_slice_in_dim(symw, c * Bc, Bc)
+                istate_c = jax.lax.dynamic_slice_in_dim(istate, c * Bc, Bc)
+                ostate, ocarry, ometa, ocount, otiles = _ssv_swar_jit(
+                    symw_c, sc, istate_c, carry_c, block_words=W3,
+                    max_hit_tiles=max_hit_tiles, interpret=interpret)
+                count = jnp.where(active, ocount[0], 0)
+                packed = _compact_tiles_impl(otiles, ometa, count,
+                                             cap=record_cap,
+                                             group_cap=group_cap)
+                return ocarry, (ostate, packed)
+
+            ocarry, (ostates, packeds) = jax.lax.scan(
+                col_chunk, seam_in, jnp.arange(CC))
+            new_istate = ostates.reshape(Bs, *symw.shape[1:])
+            istate = jnp.where(active, new_istate, istate)
             seam_out = jnp.where(active, ocarry, jnp.zeros_like(ocarry))
-            count = jnp.where(active, ocount[0], 0)
-            packed = _compact_tiles_impl(otiles, ometa, count,
-                                         cap=record_cap, group_cap=group_cap)
             seam_next = jax.lax.ppermute(seam_out, axis, perm)
-            return (istate, seam_next), packed
+            return (istate, seam_next), packeds
 
         init = (istate0, jnp.zeros(R + 1, jnp.int32))
         (istate, _), packeds = jax.lax.scan(step, init, jnp.arange(T))
-        return istate, packeds[None]  # (1, T, X)
+        return istate, packeds[None]  # (1, T, CC, X)
 
     specs = dict(mesh=mesh,
                  in_specs=(P(axis), P(), P(axis)),
@@ -132,26 +151,29 @@ class SwarDistributedSweep:
         self.group_cap = group_cap
         self.interpret = interpret
 
-        # Equal shards of whole blocks per device.
+        # Equal shards of whole blocks per device; when a shard's worst-case
+        # dirty tiles exceed the budget, sweep it in CC column chunks per
+        # wavefront step (carry chained through the kernel) so only one
+        # chunk's tile buffer is live.
         L = codes.shape[0]
+        tile_bytes = self.W3 * 4
+        nflush = ROWS_PER_STRIP // ROWS_PER_FLUSH
+        strips = self.R // ROWS_PER_STRIP
+        budget_tiles = max(strips * nflush,
+                           tile_budget_bytes // (3 * tile_bytes))
         blocks_total = -(-L // self.W)
         shard_blocks = -(-blocks_total // self.D)
+        self.col_chunks = max(
+            1, -(-(shard_blocks * strips * nflush) // budget_tiles))
+        shard_blocks = round_up(shard_blocks, self.col_chunks)
         L2 = shard_blocks * self.D * self.W
         padded = np.zeros(L2, dtype=np.uint8)
         padded[:L] = codes
         self.L = L
         self.shard_blocks = shard_blocks
         self.shard_width = shard_blocks * self.W
-
-        tile_bytes = self.W3 * 4
-        nflush = ROWS_PER_STRIP // ROWS_PER_FLUSH
-        ntiles = shard_blocks * (self.R // ROWS_PER_STRIP) * nflush
-        budget_tiles = max(12, tile_budget_bytes // (3 * tile_bytes))
-        if ntiles > budget_tiles:
-            raise ValueError(
-                f"{ntiles} tiles/step exceed the tile budget "
-                f"({budget_tiles}); reduce rows_per_step or raise the budget")
-        self.maxt = ntiles
+        self.chunk_blocks = shard_blocks // self.col_chunks
+        self.maxt = self.chunk_blocks * strips * nflush
 
         self._shard = NamedSharding(mesh, P(axis))
         self.symw_dev = jax.device_put(
@@ -188,37 +210,41 @@ class SwarDistributedSweep:
         if key not in self._fns:
             self._fns[key] = make_swar_dist_fn(
                 self.mesh, self.axis, self.W3, self.R, S, self.maxt,
-                self.record_cap, self.group_cap, self.interpret)
+                self.record_cap, self.group_cap, self.interpret,
+                col_chunks=self.col_chunks)
         istate = jax.device_put(
             jnp.zeros_like(self.symw_dev), self._shard)
         _, packeds = self._fns[key](self.symw_dev, sc_dev, istate)
-        packeds = np.asarray(packeds)  # (D, T, 2 + maxt + 2*cap)
+        packeds = np.asarray(packeds)  # (D, T, CC, 2 + maxt + 2*cap)
 
         cap = self.record_cap
         maxt = self.maxt
         S_strips = self.R // ROWS_PER_STRIP
+        chunk_width = self.chunk_blocks * self.W
         all_rows, all_pos = [], []
         for d in range(self.D):
             for t in range(packeds.shape[1]):
                 s = t - d
                 if not (0 <= s < S):
                     continue
-                vec = packeds[d, t]
-                n, ngroups = int(vec[0]), int(vec[1])
-                if n > cap or ngroups > self.group_cap:
-                    raise _RecordCapacityExceeded(n, ngroups)
-                if n == 0:
-                    continue
-                ometa = vec[2:2 + maxt]
-                idx = vec[2 + maxt:2 + maxt + n].astype(np.int64)
-                words = vec[2 + maxt + cap:2 + maxt + cap + n]
-                slots = idx // self.W3
-                word_idx = idx % self.W3
-                ids = ometa[slots]
-                rows, pos = decode_swar_flat(ids, word_idx, words, S_strips,
-                                             self.W3)
-                all_rows.append(rows + s * self.R)
-                all_pos.append(pos + d * self.shard_width)
+                for c in range(self.col_chunks):
+                    vec = packeds[d, t, c]
+                    n, ngroups = int(vec[0]), int(vec[1])
+                    if n > cap or ngroups > self.group_cap:
+                        raise _RecordCapacityExceeded(n, ngroups)
+                    if n == 0:
+                        continue
+                    ometa = vec[2:2 + maxt]
+                    idx = vec[2 + maxt:2 + maxt + n].astype(np.int64)
+                    words = vec[2 + maxt + cap:2 + maxt + cap + n]
+                    slots = idx // self.W3
+                    word_idx = idx % self.W3
+                    ids = ometa[slots]
+                    rows, pos = decode_swar_flat(ids, word_idx, words,
+                                                 S_strips, self.W3)
+                    all_rows.append(rows + s * self.R)
+                    all_pos.append(pos + d * self.shard_width
+                                   + c * chunk_width)
         if not all_rows:
             return (np.empty(0, dtype=np.int64),) * 2
         rows = np.concatenate(all_rows)

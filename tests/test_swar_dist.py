@@ -75,3 +75,37 @@ def test_swar_dist_record_cap_retry():
     np.testing.assert_array_equal(rows, want.hit_rows)
     np.testing.assert_array_equal(pos, want.hit_positions)
     assert sweep.record_cap > 16  # caps grew
+
+
+def test_swar_dist_column_chunking():
+    """A tile budget smaller than the shard forces column chunking; hits
+    must remain exact (carry chained through the kernel between chunks)."""
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, size=4 * 3072 * 2).astype(np.uint8)
+    scores = rng.integers(-40, 110, size=(60, 4)).astype(np.int8)
+    sweep = SwarDistributedSweep(codes, mesh(2), block_width=3072,
+                                 rows_per_step=30,
+                                 tile_budget_bytes=3 * 1024 * 4 * 3,
+                                 interpret=True)
+    assert sweep.col_chunks > 1
+    rows, pos = sweep.run(scores)
+    want, _ = ssv_reference(codes, scores)
+    assert len(want.hit_rows) > 0
+    np.testing.assert_array_equal(rows, want.hit_rows)
+    np.testing.assert_array_equal(pos, want.hit_positions)
+
+
+def test_swar_dist_column_chunking_rising_chains():
+    """Chains crossing column-chunk boundaries within a shard."""
+    rng = np.random.default_rng(8)
+    codes = rng.integers(0, 4, size=4 * 3072).astype(np.uint8)
+    scores = np.full((30, 4), 5, dtype=np.int8)
+    sweep = SwarDistributedSweep(codes, mesh(2), block_width=3072,
+                                 rows_per_step=30,
+                                 tile_budget_bytes=1 * 1024 * 4 * 3,
+                                 interpret=True)
+    assert sweep.col_chunks > 1
+    rows, pos = sweep.run(scores)
+    want, _ = ssv_reference(codes, scores)
+    np.testing.assert_array_equal(rows, want.hit_rows)
+    np.testing.assert_array_equal(pos, want.hit_positions)
