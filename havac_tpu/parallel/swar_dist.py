@@ -82,7 +82,9 @@ def make_swar_dist_fn(mesh: Mesh, axis: str, block_words: int,
     def device_fn(symw, scores_strips, istate0):
         k = jax.lax.axis_index(axis)
         Bs = symw.shape[0]
-        Bc = Bs // CC  # shard blocks per column chunk (constructor pads)
+        assert Bs % CC == 0, (
+            f"shard blocks ({Bs}) must be a multiple of col_chunks ({CC})")
+        Bc = Bs // CC  # shard blocks per column chunk
 
         def step(carry, t):
             istate, seam_in = carry
@@ -163,8 +165,11 @@ class SwarDistributedSweep:
                            tile_budget_bytes // (3 * tile_bytes))
         blocks_total = -(-L // self.W)
         shard_blocks = -(-blocks_total // self.D)
-        self.col_chunks = max(
-            1, -(-(shard_blocks * strips * nflush) // budget_tiles))
+        # Bound blocks-per-chunk by the budget first, so maxt never exceeds
+        # it, then round the shard up to a chunk multiple (pad waste bounded
+        # by one chunk, not by col_chunks).
+        blocks_per_chunk = max(1, budget_tiles // (strips * nflush))
+        self.col_chunks = max(1, -(-shard_blocks // blocks_per_chunk))
         shard_blocks = round_up(shard_blocks, self.col_chunks)
         L2 = shard_blocks * self.D * self.W
         padded = np.zeros(L2, dtype=np.uint8)
