@@ -622,11 +622,16 @@ class Havac:
                         return
                     self._chunks_total = 1
                     t0 = time.perf_counter()
-                    rows, pos = sweep.run(scores)
+                    rows, pos = sweep.run(scores, self.reset_rows)
                     self._finish_distributed(rows, pos, P,
                                              time.perf_counter() - t0)
                     return
 
+            if self.isolate_models:
+                raise NotImplementedError(
+                    "isolate_models on a mesh requires the SWAR path "
+                    "(backend='pallas', packing=3); the XLA wavefront does "
+                    "not support model isolation yet")
             from havac_tpu.parallel.engine_dist import DistributedSweep
 
             cap = self.dist_hit_capacity
@@ -701,6 +706,9 @@ class Havac:
         h = zlib.crc32(
             np.asarray([L, P, chunk, rchunk, self.database.padded_length],
                        dtype=np.int64).tobytes(), h)
+        # Semantic knobs that change hit sets must invalidate checkpoints.
+        h = zlib.crc32(
+            f"{self.strand}:{self.isolate_models}:{self.p_value}".encode(), h)
         return h
 
     def _load_checkpoint(self, fingerprint: int):

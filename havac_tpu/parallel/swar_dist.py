@@ -57,7 +57,7 @@ def _get_shard_map():
 def make_swar_dist_fn(mesh: Mesh, axis: str, block_words: int,
                       rows_per_step: int, num_chunks: int, max_hit_tiles: int,
                       record_cap: int, group_cap: int, interpret: bool,
-                      col_chunks: int = 1):
+                      col_chunks: int = 1, isolate: bool = False):
     """Jitted sharded SWAR sweep.
 
     fn(symw (D·Bs, WS, 128) int32 packed+sharded, scores (S, R/30, 30, 4)
@@ -79,7 +79,7 @@ def make_swar_dist_fn(mesh: Mesh, axis: str, block_words: int,
     CC = col_chunks
     perm = [(k, k + 1) for k in range(D - 1)]
 
-    def device_fn(symw, scores_strips, istate0):
+    def device_fn(symw, scores_strips, reset_steps, istate0):
         k = jax.lax.axis_index(axis)
         Bs = symw.shape[0]
         assert Bs % CC == 0, (
@@ -92,13 +92,17 @@ def make_swar_dist_fn(mesh: Mesh, axis: str, block_words: int,
             active = jnp.logical_and(s >= 0, s < S)
             sc = jax.lax.dynamic_index_in_dim(
                 scores_strips, jnp.clip(s, 0, S - 1), 0, keepdims=False)
+            rr = jax.lax.dynamic_index_in_dim(
+                reset_steps, jnp.clip(s, 0, S - 1), 0, keepdims=False)
 
             def col_chunk(carry_c, c):
                 symw_c = jax.lax.dynamic_slice_in_dim(symw, c * Bc, Bc)
                 istate_c = jax.lax.dynamic_slice_in_dim(istate, c * Bc, Bc)
                 ostate, ocarry, ometa, ocount, otiles = _ssv_swar_jit(
-                    symw_c, sc, istate_c, carry_c, block_words=W3,
-                    max_hit_tiles=max_hit_tiles, interpret=interpret)
+                    symw_c, sc, istate_c, carry_c,
+                    rr if isolate else None, block_words=W3,
+                    max_hit_tiles=max_hit_tiles, interpret=interpret,
+                    isolate=isolate)
                 count = jnp.where(active, ocount[0], 0)
                 packed = _compact_tiles_impl(otiles, ometa, count,
                                              cap=record_cap,
@@ -118,7 +122,7 @@ def make_swar_dist_fn(mesh: Mesh, axis: str, block_words: int,
         return istate, packeds[None]  # (1, T, CC, X)
 
     specs = dict(mesh=mesh,
-                 in_specs=(P(axis), P(), P(axis)),
+                 in_specs=(P(axis), P(), P(), P(axis)),
                  out_specs=(P(axis), P(axis, None, None)))
     try:
         fn = shard_map(device_fn, check_vma=False, **specs)
@@ -185,15 +189,18 @@ class SwarDistributedSweep:
             jnp.asarray(pack_symbols(padded, self.W3)), self._shard)
         self._fns = {}
 
-    def run(self, scores: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def run(self, scores: np.ndarray,
+            reset_rows: Optional[np.ndarray] = None
+            ) -> Tuple[np.ndarray, np.ndarray]:
         """Sweep the full (P, 4) int8 score stream; exact global hits.
 
+        ``reset_rows`` (optional bool (P,)) enables model isolation.
         Record/group caps adapt: a hit-dense run that overflows them is
         re-swept with doubled caps (one extra compile) — same retry contract
         as the single-chip paths."""
         while True:
             try:
-                return self._run_once(scores)
+                return self._run_once(scores, reset_rows)
             except _RecordCapacityExceeded as exc:
                 while self.record_cap < exc.nrec:
                     self.record_cap *= 2
@@ -201,7 +208,8 @@ class SwarDistributedSweep:
                     self.group_cap *= 2
                 self._fns.clear()  # caps are baked into the compiled fn
 
-    def _run_once(self, scores: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def _run_once(self, scores: np.ndarray, reset_rows=None
+                  ) -> Tuple[np.ndarray, np.ndarray]:
         P_ = scores.shape[0]
         P2 = round_up(max(P_, 1), self.R)
         S = P2 // self.R
@@ -209,17 +217,23 @@ class SwarDistributedSweep:
         sc[:P_] = scores.astype(np.int32)
         sc_strips = jnp.asarray(
             (sc + 256).reshape(S, self.R // ROWS_PER_STRIP, ROWS_PER_STRIP, 4))
-        sc_dev = jax.device_put(sc_strips, NamedSharding(self.mesh, P()))
+        rep = NamedSharding(self.mesh, P())
+        sc_dev = jax.device_put(sc_strips, rep)
+        isolate = reset_rows is not None
+        rr = np.zeros(P2, dtype=np.int32)
+        if isolate:
+            rr[:P_] = np.asarray(reset_rows, dtype=np.int32)
+        rr_dev = jax.device_put(jnp.asarray(rr.reshape(S, self.R)), rep)
 
-        key = S
+        key = (S, isolate)
         if key not in self._fns:
             self._fns[key] = make_swar_dist_fn(
                 self.mesh, self.axis, self.W3, self.R, S, self.maxt,
                 self.record_cap, self.group_cap, self.interpret,
-                col_chunks=self.col_chunks)
+                col_chunks=self.col_chunks, isolate=isolate)
         istate = jax.device_put(
             jnp.zeros_like(self.symw_dev), self._shard)
-        _, packeds = self._fns[key](self.symw_dev, sc_dev, istate)
+        _, packeds = self._fns[key](self.symw_dev, sc_dev, rr_dev, istate)
         packeds = np.asarray(packeds)  # (D, T, CC, 2 + maxt + 2*cap)
 
         cap = self.record_cap

@@ -109,3 +109,19 @@ def test_swar_dist_column_chunking_rising_chains():
     want, _ = ssv_reference(codes, scores)
     np.testing.assert_array_equal(rows, want.hit_rows)
     np.testing.assert_array_equal(pos, want.hit_positions)
+
+
+def test_swar_dist_isolation():
+    """1D mesh path with model isolation matches the isolated oracle."""
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 4, size=2 * 3072 * 2).astype(np.uint8)
+    scores = rng.integers(-40, 110, size=(60, 4)).astype(np.int8)
+    reset = np.zeros(60, dtype=bool)
+    reset[0] = reset[23] = True
+    sweep = SwarDistributedSweep(codes, mesh(2), block_width=3072,
+                                 rows_per_step=30, interpret=True)
+    rows, pos = sweep.run(scores, reset)
+    want, _ = ssv_reference(codes, scores, reset_rows=reset)
+    assert len(want.hit_rows) > 0
+    np.testing.assert_array_equal(rows, want.hit_rows)
+    np.testing.assert_array_equal(pos, want.hit_positions)
