@@ -64,7 +64,7 @@ def main() -> None:
 
     out = run()  # compile + warm up
     np.asarray(jax.tree.leaves(out)[-2 if on_tpu else 0])  # force full sync
-    iters = 3
+    iters = 5
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
