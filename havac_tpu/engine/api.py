@@ -407,7 +407,7 @@ class Havac:
             self._run_loop_distributed()
             return
         if (self.backend in ("pallas", "pallas_interpret")
-                and self.checkpoint_path is None):
+                and not getattr(self, "_force_serial", False)):
             # Fast path: depth-1 pipelined dispatch — hit decode of chunk i
             # overlaps the device sweep of chunk i+1, chain state stays on
             # device (the reference's DATAFLOW hit-drain overlap, SURVEY §2.5).
@@ -522,9 +522,32 @@ class Havac:
             def progress(done):
                 self._chunks_done = done
 
+            checkpoint_cb = None
+            resume = None
+            if self.checkpoint_path:
+                fingerprint = self._fingerprint(codes.shape[0],
+                                                self.scores.shape[0],
+                                                sweep.chunk, sweep.rchunk)
+                loaded = self._load_checkpoint_pipelined(fingerprint,
+                                                         sweep.n_row,
+                                                         sweep.rchunk)
+                if loaded is not None:
+                    resume = loaded
+                    self.resumed_chunks = loaded[0] * sweep.n_row
+
+                def checkpoint_cb(next_ci, carries, rows_s, pos_s):
+                    tmp = self.checkpoint_path + ".tmp"
+                    np.savez(tmp, fingerprint=np.int64(fingerprint),
+                             next_ci=np.int64(next_ci), carries=carries,
+                             hit_rows=rows_s, hit_positions=pos_s)
+                    os.replace(tmp + ".npz"
+                               if os.path.exists(tmp + ".npz") else tmp,
+                               self.checkpoint_path)
+
             log.info("pipelined sweep: %d column x %d row chunks, backend=%s",
                      sweep.n_col, sweep.n_row, self.backend)
-            result = sweep.run(self._abort_event, progress)
+            result = sweep.run(self._abort_event, progress,
+                               checkpoint_cb=checkpoint_cb, resume=resume)
             self.stats.overflow_retries = sweep.overflow_retries
             if result is None:
                 with self._state_lock:
@@ -535,6 +558,8 @@ class Havac:
             self.stats.cells = codes.shape[0] * self.scores.shape[0]
             self.stats.sweep_seconds = t_sweep
             self.stats.num_raw_hits = int(self._hit_rows.shape[0])
+            if self.checkpoint_path and os.path.exists(self.checkpoint_path):
+                os.remove(self.checkpoint_path)
             with self._state_lock:
                 self._state = HavacRunState.COMPLETED
         except BaseException as exc:
@@ -710,6 +735,19 @@ class Havac:
         h = zlib.crc32(
             f"{self.strand}:{self.isolate_models}:{self.p_value}".encode(), h)
         return h
+
+    def _load_checkpoint_pipelined(self, fingerprint: int, n_row: int,
+                                   rchunk: int):
+        try:
+            with np.load(self.checkpoint_path) as ck:
+                if (int(ck["fingerprint"]) != fingerprint
+                        or "carries" not in ck
+                        or ck["carries"].shape != (n_row, rchunk + 1)):
+                    return None
+                return (int(ck["next_ci"]), ck["carries"].astype(np.int32),
+                        ck["hit_rows"], ck["hit_positions"])
+        except (FileNotFoundError, KeyError, OSError, ValueError):
+            return None
 
     def _load_checkpoint(self, fingerprint: int):
         try:

@@ -100,6 +100,14 @@ def _compact_tiles_impl(otiles, ometa, count, cap: int, group_cap: int):
                             words.astype(jnp.int32)])
 
 
+def _concat_results(results):
+    rows = ([r for r, _ in results if r.size]
+            or [np.empty(0, dtype=np.int64)])
+    pos = ([p for _, p in results if p.size]
+           or [np.empty(0, dtype=np.int64)])
+    return np.concatenate(rows), np.concatenate(pos)
+
+
 class PipelinedSweep:
     """Chunked (column × row) sweep with depth-1 software pipelining."""
 
@@ -279,7 +287,8 @@ class PipelinedSweep:
 
     # ----------------------------------------------------------------- run
 
-    def run(self, abort_event=None, progress=None, lookahead: int = 3
+    def run(self, abort_event=None, progress=None, lookahead: int = 3,
+            checkpoint_cb=None, resume=None
             ) -> Optional[Tuple[np.ndarray, np.ndarray, float]]:
         """Full pipelined sweep; returns (rows, positions, sweep_seconds) or
         None if aborted.
@@ -288,7 +297,14 @@ class PipelinedSweep:
         pulls finished chunks' packed hit records concurrently, so the
         per-chunk host round trip overlaps both device compute and other
         chunks' round trips (high-latency host links would otherwise
-        serialize on it)."""
+        serialize on it).
+
+        ``checkpoint_cb(next_ci, carries (n_row, rchunk+1) int32, rows, pos)``
+        is called after every completed column chunk (the pipeline drains at
+        that boundary, trading some overlap for a consistent snapshot).
+        ``resume`` is a prior callback payload ``(next_ci, carries, rows,
+        pos)`` to continue from.
+        """
         from concurrent.futures import ThreadPoolExecutor
 
         jnp = self.jnp
@@ -296,10 +312,18 @@ class PipelinedSweep:
         futures: List = []
         inflight: List = []
         done = 0
+        start_ci = 0
+        prev_col_carry: Dict[int, object] = {}
+        results: List[Tuple[np.ndarray, np.ndarray]] = []
+        if resume is not None:
+            start_ci, carries, rows0, pos0 = resume
+            for ri in range(self.n_row):
+                prev_col_carry[ri] = jnp.asarray(carries[ri])
+            results.append((rows0, pos0))
+            done = start_ci * self.n_row
 
         with ThreadPoolExecutor(max_workers=2) as pool:
-            prev_col_carry: Dict[int, object] = {}
-            for ci in range(self.n_col):
+            for ci in range(start_ci, self.n_col):
                 symw, lo, Lc = self._pack_codes(ci)
                 B, WS = symw.shape[0], symw.shape[1]
                 istate = jnp.zeros((B, WS, 128), jnp.int32)
@@ -330,13 +354,16 @@ class PipelinedSweep:
                     if progress is not None:
                         progress(done)
                 prev_col_carry = col_carry
-            results = [f.result() for f in futures]
+                if checkpoint_cb is not None and ci + 1 < self.n_col:
+                    results += [f.result() for f in futures]
+                    futures.clear()
+                    inflight.clear()
+                    carries = np.stack([np.asarray(prev_col_carry[ri])
+                                        for ri in range(self.n_row)])
+                    rows_s, pos_s = _concat_results(results)
+                    checkpoint_cb(ci + 1, carries, rows_s, pos_s)
+            results += [f.result() for f in futures]
 
-        all_rows = [r for r, _ in results]
-        all_pos = [p for _, p in results]
-        rows = (np.concatenate(all_rows) if all_rows
-                else np.empty(0, dtype=np.int64))
-        pos = (np.concatenate(all_pos) if all_pos
-               else np.empty(0, dtype=np.int64))
+        rows, pos = _concat_results(results)
         order = np.lexsort((pos, rows))
         return rows[order], pos[order], time.perf_counter() - t_start

