@@ -16,8 +16,9 @@ TPU-native redesign notes:
     databases (the reference's 4 GiB sequence / 3.5 GiB hit-buffer limits,
     `host/HavacHwClient.cpp:92-97`, `host/HavacHwClient.hpp:94`, become soft
     chunking parameters instead of hard capacity errors).
-  * Hit-tile buffer overflow inside a chunk is retried with a doubled buffer
-    instead of being a fatal capacity error.
+  * The pipelined fast path sizes hit buffers so overflow is impossible and
+    adapts its record caps; the serial path retries overflow with a doubled
+    buffer instead of a fatal capacity error.
   * `run_async` returns immediately; progress is observable via `state` and
     `progress` (fraction of chunks completed).
 """

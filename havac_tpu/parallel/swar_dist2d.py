@@ -56,7 +56,8 @@ def partition_models(prefix_sums: np.ndarray, num_groups: int) -> List[int]:
 def make_swar_dist2d_fn(mesh: Mesh, seq_axis: str, model_axis: str,
                         block_words: int, rows_per_step: int,
                         num_chunks: int, max_hit_tiles: int,
-                        record_cap: int, group_cap: int, interpret: bool):
+                        record_cap: int, group_cap: int, interpret: bool,
+                        col_chunks: int = 1):
     """fn(symw (D_seq·Bs, WS, 128) P(seq), scores (D_m, S, strips, 30, 4)
     P(model), resets (D_m, S, strips·30) P(model), istate (D_seq·Bs, WS, 128)
     P(seq)) → packed records (D_m, D_seq, T, X)."""
@@ -66,12 +67,17 @@ def make_swar_dist2d_fn(mesh: Mesh, seq_axis: str, model_axis: str,
     D = mesh.shape[seq_axis]
     T = S + D - 1
     W3 = block_words
+    CC = col_chunks
     perm = [(k, k + 1) for k in range(D - 1)]
 
     def device_fn(symw, scores_strips, reset_strips, istate0):
         k = jax.lax.axis_index(seq_axis)
         scores_strips = scores_strips[0]  # (S, strips, 30, 4) local group
         reset_strips = reset_strips[0]  # (S, strips*30)
+        Bs = symw.shape[0]
+        assert Bs % CC == 0, (
+            f"shard blocks ({Bs}) must be a multiple of col_chunks ({CC})")
+        Bc = Bs // CC
 
         def step(carry, t):
             istate, seam_in = carry
@@ -81,21 +87,31 @@ def make_swar_dist2d_fn(mesh: Mesh, seq_axis: str, model_axis: str,
                 scores_strips, jnp.clip(s, 0, S - 1), 0, keepdims=False)
             rr = jax.lax.dynamic_index_in_dim(
                 reset_strips, jnp.clip(s, 0, S - 1), 0, keepdims=False)
-            ostate, ocarry, ometa, ocount, otiles = _ssv_swar_jit(
-                symw, sc, istate, seam_in, rr, block_words=W3,
-                max_hit_tiles=max_hit_tiles, interpret=interpret,
-                isolate=True)
-            istate = jnp.where(active, ostate, istate)
+
+            def col_chunk(carry_c, c):
+                symw_c = jax.lax.dynamic_slice_in_dim(symw, c * Bc, Bc)
+                istate_c = jax.lax.dynamic_slice_in_dim(istate, c * Bc, Bc)
+                ostate, ocarry, ometa, ocount, otiles = _ssv_swar_jit(
+                    symw_c, sc, istate_c, carry_c, rr, block_words=W3,
+                    max_hit_tiles=max_hit_tiles, interpret=interpret,
+                    isolate=True)
+                count = jnp.where(active, ocount[0], 0)
+                packed = _compact_tiles_impl(otiles, ometa, count,
+                                             cap=record_cap,
+                                             group_cap=group_cap)
+                return ocarry, (ostate, packed)
+
+            ocarry, (ostates, packeds) = jax.lax.scan(
+                col_chunk, seam_in, jnp.arange(CC))
+            new_istate = ostates.reshape(Bs, *symw.shape[1:])
+            istate = jnp.where(active, new_istate, istate)
             seam_out = jnp.where(active, ocarry, jnp.zeros_like(ocarry))
-            count = jnp.where(active, ocount[0], 0)
-            packed = _compact_tiles_impl(otiles, ometa, count,
-                                         cap=record_cap, group_cap=group_cap)
             seam_next = jax.lax.ppermute(seam_out, seq_axis, perm)
-            return (istate, seam_next), packed
+            return (istate, seam_next), packeds
 
         init = (istate0, jnp.zeros(R + 1, jnp.int32))
         _, packeds = jax.lax.scan(step, init, jnp.arange(T))
-        return packeds[None, None]  # (1, 1, T, X)
+        return packeds[None, None]  # (1, 1, T, CC, X)
 
     specs = dict(mesh=mesh,
                  in_specs=(P(seq_axis), P(model_axis), P(model_axis),
@@ -134,24 +150,24 @@ class Swar2DSweep:
         self.interpret = interpret
 
         L = codes.shape[0]
+        tile_bytes = self.W3 * 4
+        nflush = ROWS_PER_STRIP // ROWS_PER_FLUSH
+        strips = self.R // ROWS_PER_STRIP
+        budget_tiles = max(strips * nflush,
+                           tile_budget_bytes // (3 * tile_bytes))
         blocks_total = -(-L // self.W)
         shard_blocks = -(-blocks_total // self.D_seq)
+        blocks_per_chunk = max(1, budget_tiles // (strips * nflush))
+        self.col_chunks = max(1, -(-shard_blocks // blocks_per_chunk))
+        shard_blocks = round_up(shard_blocks, self.col_chunks)
         L2 = shard_blocks * self.D_seq * self.W
         padded = np.zeros(L2, dtype=np.uint8)
         padded[:L] = codes
         self.L = L
         self.shard_blocks = shard_blocks
         self.shard_width = shard_blocks * self.W
-
-        tile_bytes = self.W3 * 4
-        nflush = ROWS_PER_STRIP // ROWS_PER_FLUSH
-        ntiles = shard_blocks * (self.R // ROWS_PER_STRIP) * nflush
-        budget_tiles = max(12, tile_budget_bytes // (3 * tile_bytes))
-        if ntiles > budget_tiles:
-            raise ValueError(
-                f"{ntiles} tiles/step exceed the tile budget "
-                f"({budget_tiles}); reduce rows_per_step or raise the budget")
-        self.maxt = ntiles
+        self.chunk_blocks = shard_blocks // self.col_chunks
+        self.maxt = self.chunk_blocks * strips * nflush
 
         self._seq_shard = NamedSharding(mesh, P(seq_axis))
         self.symw_dev = jax.device_put(
@@ -207,7 +223,8 @@ class Swar2DSweep:
         if S not in self._fns:
             self._fns[S] = make_swar_dist2d_fn(
                 self.mesh, self.seq_axis, self.model_axis, self.W3, self.R,
-                S, self.maxt, self.record_cap, self.group_cap, self.interpret)
+                S, self.maxt, self.record_cap, self.group_cap, self.interpret,
+                col_chunks=self.col_chunks)
         istate = jax.device_put(jnp.zeros_like(self.symw_dev),
                                 self._seq_shard)
         packeds = np.asarray(self._fns[S](self.symw_dev, sc_dev, rr_dev,
@@ -215,6 +232,7 @@ class Swar2DSweep:
 
         cap = self.record_cap
         maxt = self.maxt
+        chunk_width = self.chunk_blocks * self.W
         all_rows, all_pos = [], []
         for g in range(self.D_model):
             for d in range(self.D_seq):
@@ -222,24 +240,26 @@ class Swar2DSweep:
                     s = t - d
                     if not (0 <= s < S):
                         continue
-                    vec = packeds[g, d, t]
-                    n, ngroups = int(vec[0]), int(vec[1])
-                    if n > cap or ngroups > self.group_cap:
-                        raise _RecordCapacityExceeded(n, ngroups)
-                    if n == 0:
-                        continue
-                    ometa = vec[2:2 + maxt]
-                    idx = vec[2 + maxt:2 + maxt + n].astype(np.int64)
-                    words = vec[2 + maxt + cap:2 + maxt + cap + n]
-                    slots = idx // self.W3
-                    word_idx = idx % self.W3
-                    ids = ometa[slots]
-                    rows, pos = decode_swar_flat(ids, word_idx, words, strips,
-                                                 self.W3)
-                    rows = rows + s * self.R
-                    keep = rows < g_rows[g]
-                    all_rows.append(rows[keep] + g_row0[g])
-                    all_pos.append(pos[keep] + d * self.shard_width)
+                    for c in range(self.col_chunks):
+                        vec = packeds[g, d, t, c]
+                        n, ngroups = int(vec[0]), int(vec[1])
+                        if n > cap or ngroups > self.group_cap:
+                            raise _RecordCapacityExceeded(n, ngroups)
+                        if n == 0:
+                            continue
+                        ometa = vec[2:2 + maxt]
+                        idx = vec[2 + maxt:2 + maxt + n].astype(np.int64)
+                        words = vec[2 + maxt + cap:2 + maxt + cap + n]
+                        slots = idx // self.W3
+                        word_idx = idx % self.W3
+                        ids = ometa[slots]
+                        rows, pos = decode_swar_flat(ids, word_idx, words,
+                                                     strips, self.W3)
+                        rows = rows + s * self.R
+                        keep = rows < g_rows[g]
+                        all_rows.append(rows[keep] + g_row0[g])
+                        all_pos.append(pos[keep] + d * self.shard_width
+                                       + c * chunk_width)
         if not all_rows:
             return (np.empty(0, dtype=np.int64),) * 2
         rows = np.concatenate(all_rows)

@@ -50,3 +50,24 @@ def test_2d_matches_isolated_oracle(d_seq, d_model):
     assert len(want.hit_rows) > 0
     np.testing.assert_array_equal(rows, want.hit_rows)
     np.testing.assert_array_equal(pos, want.hit_positions)
+
+
+def test_2d_column_chunking():
+    """Tiny tile budget forces column chunks inside the 2D path; exact."""
+    models, records = generate_planted_fixture(
+        seed=103, model_length=30, sequence_length=30000, num_models=4)
+    db = load_fasta_database(
+        "".join(f">{n}\n{s}\n" for n, s in records), is_text=True)
+    scores = project_models(models, 0.05)
+    prefix = model_length_prefix_sums(models)
+    reset = np.zeros(scores.shape[0], dtype=bool)
+    reset[prefix[:-1]] = True
+    sweep = Swar2DSweep(db.codes, mesh2d(2, 2), block_width=3072,
+                        rows_per_step=30,
+                        tile_budget_bytes=1024 * 4 * 3 * 2, interpret=True)
+    assert sweep.col_chunks > 1
+    rows, pos = sweep.run(scores, prefix)
+    want, _ = ssv_reference(db.codes, scores, reset_rows=reset)
+    assert len(want.hit_rows) > 0
+    np.testing.assert_array_equal(rows, want.hit_rows)
+    np.testing.assert_array_equal(pos, want.hit_positions)
