@@ -182,6 +182,47 @@ def cmd_validate(args) -> int:
                  and report.window_recall >= args.min_recall) else 1
 
 
+def cmd_quantize(args) -> int:
+    """Quantization forensics: rescore nhmmer windows with int8 vs float
+    projections — the hmmerSsvRef executable analog (`test/hmmerSsvRef`)."""
+    import numpy as np
+
+    from havac_tpu.io.fasta import load_fasta_database
+    from havac_tpu.io.hmm import read_hmm
+    from havac_tpu.validation import load_tblout, quantization_report
+
+    models = read_hmm(args.hmm)
+    db = load_fasta_database(args.fasta)
+    windows_by_model = {}
+    name_to_seq = {n: i for i, n in enumerate(db.names)}
+    for w in load_tblout(args.tblout):
+        label = w.query_accession or w.query_name
+        si = name_to_seq.get(w.target_name)
+        if si is None:
+            continue
+        s = int(db.starts[si])
+        lo = s + max(0, w.seq_lo - 1)
+        hi = s + min(int(db.lengths[si]), w.seq_hi)
+        windows_by_model.setdefault(label, []).append(db.codes[lo:hi])
+
+    out = {}
+    for m in models:
+        label = m.accession or m.name
+        windows = windows_by_model.get(label, [])
+        if not windows:
+            continue
+        rep = quantization_report(windows, m, args.pvalue)
+        out[label] = {
+            "num_windows": rep.num_windows,
+            "int8_pass_256": rep.int8_pass_256,
+            "int8_pass_250": rep.int8_pass_250,
+            "float_pass_256": rep.float_pass_256,
+            "disagreement_rate": round(rep.disagreement_rate, 6),
+        }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="havac-tpu", description="TPU-native SSV homology search")
@@ -208,6 +249,14 @@ def main(argv=None) -> int:
                        help="exit nonzero if either recall falls below this")
     p_val.add_argument("--show-disagreements", action="store_true")
     p_val.set_defaults(fn=cmd_validate)
+
+    p_q = sub.add_parser(
+        "quantize",
+        help="int8-vs-float rescoring of nhmmer windows (hmmerSsvRef analog)")
+    _add_common(p_q)
+    p_q.add_argument("--tblout", required=True,
+                     help="nhmmer --tblout windows to rescore")
+    p_q.set_defaults(fn=cmd_quantize)
 
     args = parser.parse_args(argv)
     return args.fn(args)
