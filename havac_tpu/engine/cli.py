@@ -182,6 +182,33 @@ def cmd_validate(args) -> int:
                  and report.window_recall >= args.min_recall) else 1
 
 
+def cmd_scan(args) -> int:
+    """Streaming multi-file scan with prefetch (`Havac.scan_files`)."""
+    engine = _build_engine(args)
+    engine.load_phmm(args.hmm)
+    out = open(args.out, "w") if args.out != "-" else sys.stdout
+    try:
+        out.write("#file\tsequence\tseq_position\tmodel\tmodel_position"
+                  "\tstrand\n")
+        total = 0
+        with _MaybeTrace(args.trace):
+            for path, hits in engine.scan_files(args.fastas,
+                                                prefetch=args.prefetch):
+                names = engine.database.names
+                models = engine.models
+                for si, sp, mi, mp, st in hits.as_tuples_stranded():
+                    label = models[mi].accession or models[mi].name
+                    out.write(f"{path}\t{names[si]}\t{sp}\t{label}\t{mp}"
+                              f"\t{st}\n")
+                total += len(hits)
+                print(f"{path}: {len(hits)} hits", file=sys.stderr)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    print(f"{total} hits across {len(args.fastas)} files", file=sys.stderr)
+    return 0
+
+
 def cmd_quantize(args) -> int:
     """Quantization forensics: rescore nhmmer windows with int8 vs float
     projections — the hmmerSsvRef executable analog (`test/hmmerSsvRef`)."""
@@ -257,6 +284,24 @@ def main(argv=None) -> int:
     p_q.add_argument("--tblout", required=True,
                      help="nhmmer --tblout windows to rescore")
     p_q.set_defaults(fn=cmd_quantize)
+
+    p_scan = sub.add_parser(
+        "scan", help="streaming scan over many FASTA files with prefetch")
+    p_scan.add_argument("--hmm", required=True)
+    p_scan.add_argument("fastas", nargs="+", help="FASTA files to scan")
+    p_scan.add_argument("--pvalue", type=float, default=0.02)
+    p_scan.add_argument("--backend", default="auto",
+                        choices=["auto", "pallas", "pallas_interpret", "xla"])
+    p_scan.add_argument("--chunk-symbols", type=int, default=1 << 24)
+    p_scan.add_argument("--chunk-rows", type=int, default=8160)
+    p_scan.add_argument("--strand", default="forward",
+                        choices=["forward", "both"])
+    p_scan.add_argument("--isolate-models", action="store_true")
+    p_scan.add_argument("--prefetch", type=int, default=1)
+    p_scan.add_argument("--trace", default=None)
+    p_scan.add_argument("--verbose", "-v", action="store_true")
+    p_scan.add_argument("--out", default="-")
+    p_scan.set_defaults(fn=cmd_scan)
 
     args = parser.parse_args(argv)
     return args.fn(args)
