@@ -202,3 +202,59 @@ def decode_flat_records(
     positions = np.concatenate(pos_out)
     order = np.lexsort((positions, rows))
     return rows[order], positions[order]
+
+
+@dataclass
+class HitExplanation:
+    """The diagonal chain that produced a hit (walkback re-derivation, the
+    analog of multiInputTest's explainability fallback,
+    `host/test/multiInputTest/multiInputTest.cpp:273-308`)."""
+
+    hit_row: int
+    hit_position: int
+    chain_start_row: int  # first row of the scoring chain (state left 0)
+    chain_start_position: int
+    states: np.ndarray  # running DP state along the chain (last == 0, post-hit reset)
+    matches: np.ndarray  # per-step match scores along the chain
+    reached: int  # the pre-reset sum at the hit cell (≥ 256 for a real hit)
+
+
+def explain_hit(hit_row: int, hit_position: int, symbols: np.ndarray,
+                scores: np.ndarray) -> HitExplanation:
+    """Re-derive one hit's diagonal chain with scalar arithmetic.
+
+    Walks up the diagonal from (hit_row, hit_position) to the chain's origin
+    (the last cell whose incoming state was 0), then replays the SSV
+    recurrence forward, returning every intermediate state. ``reached`` is
+    the unclamped sum at the hit cell; a genuine hit has reached ≥ 256.
+    """
+    symbols = np.asarray(symbols, dtype=np.int64)
+    scores = np.asarray(scores, dtype=np.int64)
+    j, i = int(hit_row), int(hit_position)
+    steps = min(j, i) + 1
+
+    # Forward replay from the top of the diagonal (exact, including resets);
+    # record the most recent reset to locate the chain origin.
+    j0, i0 = j - steps + 1, i - steps + 1
+    state = 0
+    start = (j0, i0)
+    states, matches = [], []
+    for t in range(steps):
+        m = int(scores[j0 + t][symbols[i0 + t]])
+        s = state + m
+        if state == 0:
+            start = (j0 + t, i0 + t)
+            states, matches = [], []
+        reached = s
+        if s < 0 or s >= 256:
+            state = 0
+        else:
+            state = s
+        states.append(state)
+        matches.append(m)
+    return HitExplanation(
+        hit_row=j, hit_position=i,
+        chain_start_row=start[0], chain_start_position=start[1],
+        states=np.asarray(states), matches=np.asarray(matches),
+        reached=int(reached),
+    )

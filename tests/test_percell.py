@@ -36,3 +36,39 @@ def test_comparator_reports_mismatches():
     bad[7, 2] = 0 if m[7, 2] else 1
     report = compare_matrices(m, bad)
     assert {(c.row, c.position) for c in report} == {(4, 100), (7, 2)}
+
+
+def test_explain_hit_walkback():
+    """Every oracle hit must be explainable: the walkback chain reaches
+    >= 256 exactly at the hit cell (multiInputTest walkback analog)."""
+    from havac_tpu.hits.decode import explain_hit
+    from havac_tpu.ops.reference import ssv_reference
+
+    symbols, scores = case(4, L=900, P=40)
+    res, _ = ssv_reference(symbols, scores)
+    assert len(res.hit_rows) > 0
+    for j, i in list(zip(res.hit_rows, res.hit_positions))[:50]:
+        ex = explain_hit(j, i, symbols, scores)
+        assert ex.reached >= 256
+        assert ex.states[-1] == 0  # post-hit reset
+        assert ex.chain_start_row <= j and ex.chain_start_position <= i
+        # chain is a true diagonal
+        assert (j - ex.chain_start_row) == (i - ex.chain_start_position)
+
+
+def test_explain_non_hit_stays_below_threshold():
+    from havac_tpu.hits.decode import explain_hit
+    from havac_tpu.ops.reference import ssv_reference
+
+    symbols, scores = case(5, L=400, P=16)
+    res, _ = ssv_reference(symbols, scores)
+    hitset = set(zip(res.hit_rows.tolist(), res.hit_positions.tolist()))
+    import numpy as _np
+    rng = _np.random.default_rng(0)
+    checked = 0
+    while checked < 25:
+        j = int(rng.integers(0, 16)); i = int(rng.integers(0, 400))
+        if (j, i) in hitset:
+            continue
+        assert explain_hit(j, i, symbols, scores).reached < 256
+        checked += 1
