@@ -195,6 +195,16 @@ class Havac:
             models = list(src)
         if not models:
             raise HavacUsageError("no models to load")
+        # Nucleotide-only scope, like the reference (`README.md:2`): the
+        # kernels assume 4 score columns per position, so reject amino (or
+        # any non-4-symbol) models here with a clear error instead of an
+        # opaque downstream shape failure.
+        for m in models:
+            if m.alphabet_cardinality != 4:
+                raise HavacUsageError(
+                    f"model {m.name!r} uses alphabet {m.alphabet!r} "
+                    f"(cardinality {m.alphabet_cardinality}); HAVAC-style SSV "
+                    "is nucleotide-only (dna/rna, 4 symbols)")
         self.models = models
         self.scores = project_models(models, self.p_value)
         self.phmm_prefix = model_length_prefix_sums(models)
@@ -330,16 +340,18 @@ class Havac:
         (`Havac::runHardwareClientAsync`, `host/Havac.cpp:85-92`)."""
         if self.scores is None or self.database is None:
             raise HavacUsageError("load_phmm and load_sequence must be called before run")
-        if self.state == HavacRunState.RUNNING:
-            raise HavacUsageError("a run is already in flight")
+        # Check-and-transition atomically: two threads racing run_async must
+        # not both pass the RUNNING check and spawn two workers.
+        with self._state_lock:
+            if self._state == HavacRunState.RUNNING:
+                raise HavacUsageError("a run is already in flight")
+            self._state = HavacRunState.RUNNING
         self._abort_event.clear()
         self._error = None
         self._hit_rows = np.empty(0, dtype=np.int64)
         self._hit_positions = np.empty(0, dtype=np.int64)
         self._chunks_done = 0
         self.stats = RunStats()
-        with self._state_lock:
-            self._state = HavacRunState.RUNNING
         self._thread = threading.Thread(target=self._run_loop, daemon=True)
         self._thread.start()
         return self
@@ -728,7 +740,10 @@ class Havac:
         import zlib
 
         h = zlib.crc32(self.scores.tobytes())
-        h = zlib.crc32(self.database.codes[: 1 << 16].tobytes(), h)
+        # Full-database CRC: a prefix hash would silently resume a stale
+        # checkpoint after an edit beyond the prefix (same padded length).
+        # crc32 over even a multi-GB array is milliseconds vs a resumable run.
+        h = zlib.crc32(np.ascontiguousarray(self.database.codes), h)
         h = zlib.crc32(
             np.asarray([L, P, chunk, rchunk, self.database.padded_length],
                        dtype=np.int64).tobytes(), h)

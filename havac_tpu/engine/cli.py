@@ -163,7 +163,10 @@ def cmd_validate(args) -> int:
         engine.run()
     hits = engine_hits_for_comparison(engine)
     windows = load_tblout(args.tblout)
-    report = compare_containment(hits, windows, slack=args.slack)
+    # Forward-only runs compare against '+' windows only (nhmmer --watson
+    # behavior); strand="both" runs keep '-' windows, matched by strand.
+    report = compare_containment(hits, windows, slack=args.slack,
+                                 watson_only=(engine.strand == "forward"))
     out = {
         "num_engine_hits": report.num_hits,
         "num_nhmmer_windows": report.num_windows,

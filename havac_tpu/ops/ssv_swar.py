@@ -89,18 +89,25 @@ def _ssv_swar_kernel(
     K: int,
     WS: int,
     isolate: bool,
+    debug_rows: bool = False,
 ):
     if isolate:
         reset_smem, *refs = refs
-    (ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref, state_ref,
-     bits_ref, carry_ref, ind_refs_1, ind_refs_2, ind_refs_3, cnt_ref,
-     dma_sem) = refs
+    orows_ref = None
+    if debug_rows:
+        (ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref,
+         orows_ref, state_ref, bits_ref, carry_ref, ind_refs_1, ind_refs_2,
+         ind_refs_3, cnt_ref, dma_sem) = refs
+    else:
+        (ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref, state_ref,
+         bits_ref, carry_ref, ind_refs_1, ind_refs_2, ind_refs_3, cnt_ref,
+         dma_sem) = refs
     _ssv_swar_body(scores_smem, symw_ref, istate_ref, icarry_ref,
                    ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref,
                    state_ref, bits_ref, carry_ref, ind_refs_1, ind_refs_2,
                    ind_refs_3, cnt_ref, dma_sem,
                    reset_smem if isolate else None, K=K, WS=WS,
-                   isolate=isolate)
+                   isolate=isolate, orows_ref=orows_ref)
 
 
 def _ssv_swar_body(
@@ -124,6 +131,7 @@ def _ssv_swar_body(
     K: int,
     WS: int,
     isolate: bool,
+    orows_ref=None,  # (1, K, WS, 128) VMEM debug output: packed state/row
 ):
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -204,6 +212,11 @@ def _ssv_swar_body(
         kmask = (w >> 8) & ~t9 & fm
         state = w & (kmask * 255)
 
+        if orows_ref is not None:
+            # byCellComparator debug mode: the production kernel's own packed
+            # post-update state, every row (`byCellComparator.cpp:47-96`).
+            orows_ref[0, k] = state
+
         # state words have bits 30-31 clear, so >> 20 is exactly field 2.
         tail = state[WS - 1, 127] >> 20
         carry_ref[wslot, j + 1] = tail
@@ -239,7 +252,8 @@ def _ssv_swar_body(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_words", "max_hit_tiles", "interpret", "isolate"),
+    static_argnames=("block_words", "max_hit_tiles", "interpret", "isolate",
+                     "debug_rows"),
 )
 def _ssv_swar_jit(
     symw_blocks,  # (B, WS, 128) int32 packed
@@ -252,6 +266,7 @@ def _ssv_swar_jit(
     max_hit_tiles: int,
     interpret: bool,
     isolate: bool = False,
+    debug_rows: bool = False,
 ):
     B, WS, _ = symw_blocks.shape
     S, K, _ = scores_strips.shape
@@ -259,7 +274,8 @@ def _ssv_swar_jit(
     maxt = max_hit_tiles
 
     grid = (B, S)
-    kernel = functools.partial(_ssv_swar_kernel, K=K, WS=WS, isolate=isolate)
+    kernel = functools.partial(_ssv_swar_kernel, K=K, WS=WS, isolate=isolate,
+                               debug_rows=debug_rows)
     in_specs = [
         pl.BlockSpec((1, K, 4), lambda b, s: (s, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, WS, 128), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -272,24 +288,34 @@ def _ssv_swar_jit(
             reset_rows_arr = jnp.zeros(S * K, jnp.int32)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(reset_rows_arr)
+    out_specs = [
+        pl.BlockSpec((1, WS, 128), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, WS, 128), jnp.int32),  # ostate
+        jax.ShapeDtypeStruct((rows1,), jnp.int32),  # ocarry
+        jax.ShapeDtypeStruct((maxt,), jnp.int32),  # ometa
+        jax.ShapeDtypeStruct((1,), jnp.int32),  # ocount
+        jax.ShapeDtypeStruct((maxt, WS, 128), jnp.int32),  # otiles
+    ]
+    if debug_rows:
+        # Per-row packed state dump (byCellComparator mode; small inputs
+        # only — this is O(rows · block) memory).
+        out_specs.append(pl.BlockSpec(
+            (1, K, WS, 128), lambda b, s: (b, s, 0, 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, S * K, WS, 128), jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, WS, 128), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, WS, 128), jnp.int32),  # ostate
-            jax.ShapeDtypeStruct((rows1,), jnp.int32),  # ocarry
-            jax.ShapeDtypeStruct((maxt,), jnp.int32),  # ometa
-            jax.ShapeDtypeStruct((1,), jnp.int32),  # ocount
-            jax.ShapeDtypeStruct((maxt, WS, 128), jnp.int32),  # otiles
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((WS, 128), jnp.int32),  # state
             pltpu.VMEM((WS, 128), jnp.int32),  # bits

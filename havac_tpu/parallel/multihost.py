@@ -76,7 +76,14 @@ def host_local_codes(codes: np.ndarray, mesh, axis: str = "seq"
     L = codes.shape[0]
     shard = -(-L // D)
     procs = jax.process_count()
-    per_host = D // procs if procs and D % procs == 0 else D
+    if procs and D % procs:
+        # Silent degradation here (process 0 taking everything) would be
+        # wrong sharding, not a fallback — refuse instead.
+        raise ValueError(
+            f"mesh axis {axis!r} of size {D} is not divisible by "
+            f"process_count={procs}; lay the mesh out so each host owns an "
+            f"equal contiguous span of the sequence axis")
+    per_host = D // procs if procs else D
     lo = jax.process_index() * per_host * shard
     hi = min(L, lo + per_host * shard)
     return codes[lo:hi], lo

@@ -104,37 +104,42 @@ class ContainmentReport:
 
 
 def compare_containment(
-    hits: Iterable[Tuple[str, int, str]],
+    hits: Iterable[Tuple],
     windows: Sequence[NhmmerWindow],
     slack: int = 0,
     watson_only: bool = True,
 ) -> ContainmentReport:
     """Check containment both directions.
 
-    ``hits``: (sequence name, 0-based sequence position, model label) — model
-    label matches window query accession if present else query name, like the
-    reference's accession matching (`hmmerValidation.cpp:84-96`).
+    ``hits``: (sequence name, 0-based sequence position, model label) triples
+    or (..., strand) quadruples — model label matches window query accession
+    if present else query name, like the reference's accession matching
+    (`hmmerValidation.cpp:84-96`). When a hit carries a strand, it only
+    matches windows of that strand (both sides use forward coordinates, so
+    the interval test is unchanged).
     ``slack``: positions of tolerance at window edges.
-    ``watson_only``: ignore '-' strand windows (the engine scans the forward
-    strand; the reference benchmarks run nhmmer --watson,
-    `benchmark/readme.txt:63`).
+    ``watson_only``: ignore '-' strand windows (forward-only engine runs; the
+    reference benchmarks run nhmmer --watson, `benchmark/readme.txt:63`).
     """
     windows = [w for w in windows if not (watson_only and w.strand == "-")]
-    by_key: Dict[Tuple[str, str], List[NhmmerWindow]] = {}
+    by_key: Dict[Tuple[str, str, str], List[NhmmerWindow]] = {}
     for w in windows:
         label = w.query_accession or w.query_name
-        by_key.setdefault((w.target_name, label), []).append(w)
+        by_key.setdefault((w.target_name, label, w.strand), []).append(w)
 
     hits = list(hits)
     covered = set()
     contained = 0
     uncontained: List[Tuple[str, int, str]] = []
-    for seq, pos, model in hits:
+    for hit in hits:
+        seq, pos, model = hit[0], hit[1], hit[2]
+        strands = (hit[3],) if len(hit) > 3 else ("+", "-")
         found = False
-        for w in by_key.get((seq, model), ()):  # windows are few per pair
-            if w.seq_lo - 1 - slack <= pos <= w.seq_hi - 1 + slack:
-                covered.add(id(w))
-                found = True
+        for st in strands:
+            for w in by_key.get((seq, model, st), ()):  # few windows per pair
+                if w.seq_lo - 1 - slack <= pos <= w.seq_hi - 1 + slack:
+                    covered.add(id(w))
+                    found = True
         if found:
             contained += 1
         else:
@@ -151,12 +156,14 @@ def compare_containment(
     )
 
 
-def engine_hits_for_comparison(engine) -> List[Tuple[str, int, str]]:
-    """Resolved engine hits → (sequence name, position, model label) rows."""
+def engine_hits_for_comparison(engine) -> List[Tuple[str, int, str, str]]:
+    """Resolved engine hits → (sequence name, position, model label, strand)
+    rows; minus-strand hits (strand="both" runs) carry '-' and match only
+    '-' windows in :func:`compare_containment`."""
     resolved = engine.hits()
     names = engine.database.names
     out = []
-    for si, sp, mi, mp in resolved.as_tuples():
+    for si, sp, mi, mp, st in resolved.as_tuples_stranded():
         model = engine.models[mi]
-        out.append((names[si], sp, model.accession or model.name))
+        out.append((names[si], sp, model.accession or model.name, st))
     return out

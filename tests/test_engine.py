@@ -102,6 +102,21 @@ def test_usage_errors_and_state():
         engine.hits()
 
 
+def test_amino_models_rejected_at_load():
+    """The kernels are 4-symbol; amino models (cardinality 20) must fail at
+    load_phmm with a clear usage error, not an opaque downstream shape error
+    (reference is nucleotide-only, README.md:2)."""
+    from havac_tpu.io.hmm import ProfileHmm
+
+    amino = ProfileHmm(
+        name="amino-1", model_length=8, max_length=100, alphabet="amino",
+        msv_mu=-5.0, msv_lambda=0.7,
+        match_scores=np.full((8, 20), 2.0, dtype=np.float32))
+    engine = Havac(config=CFG, backend="xla")
+    with pytest.raises(HavacUsageError, match="nucleotide-only"):
+        engine.load_phmm(amino)
+
+
 def test_async_run_and_abort():
     models, records = generate_planted_fixture(
         seed=5, model_length=32, sequence_length=30000, num_models=1)

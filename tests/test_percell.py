@@ -2,10 +2,12 @@
 
 import numpy as np
 
+from havac_tpu.ops.reference import ssv_reference
 from havac_tpu.testing.percell import (
     compare_matrices,
     dp_matrix_oracle,
     dp_matrix_pallas,
+    dp_matrix_swar,
     dp_matrix_xla,
 )
 
@@ -26,6 +28,32 @@ def test_pallas_matches_oracle_per_cell():
     symbols, scores = case(2, L=1500, P=12)
     assert compare_matrices(dp_matrix_oracle(symbols, scores),
                             dp_matrix_pallas(symbols, scores)) == []
+
+
+def test_swar_matches_oracle_per_cell():
+    """The PRODUCTION SWAR kernel (3 cells/lane, K=30 strips), cell for cell
+    vs the oracle — the byCellComparator instrumented the shipping
+    implementation, not a stand-in (`byCellComparator.cpp:47-96`)."""
+    symbols, scores = case(6, L=3000, P=47)  # P not a strip multiple
+    assert compare_matrices(dp_matrix_oracle(symbols, scores),
+                            dp_matrix_swar(symbols, scores)) == []
+
+
+def test_swar_per_cell_multiblock_with_carry_and_isolation():
+    """Per-cell equality across kernel-block seams (SMEM score queue), with
+    a nonzero incoming carry column and model-isolation reset rows."""
+    rng = np.random.default_rng(8)
+    L, P = 4000, 35  # L > 3072 → two kernel blocks
+    symbols = rng.integers(0, 4, size=L).astype(np.uint8)
+    scores = rng.integers(-40, 110, size=(P, 4)).astype(np.int8)
+    icarry = rng.integers(0, 256, size=P + 1).astype(np.int32)
+    reset = np.zeros(P, dtype=bool)
+    reset[[0, 13, 27]] = True
+    _, want = ssv_reference(symbols, scores, init_carry=icarry,
+                            reset_rows=reset, return_matrix=True)
+    got = dp_matrix_swar(symbols, scores, init_carry=icarry,
+                         reset_rows=reset)
+    assert compare_matrices(want, got) == []
 
 
 def test_comparator_reports_mismatches():

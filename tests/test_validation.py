@@ -36,11 +36,14 @@ def run_engine():
 def tblout_from_hits(hits, pad=20):
     """Synthesize a tblout table whose windows surround the given hits."""
     rows = []
-    for seq, pos, model in hits:
+    for seq, pos, model, *rest in hits:
+        strand = rest[0] if rest else "+"
         lo, hi = max(1, pos + 1 - pad), pos + 1 + pad
+        if strand == "-":
+            lo, hi = hi, lo  # nhmmer reports minus-strand coords reversed
         rows.append(
             f"{seq} - {model} {model} 1 48 {lo} {hi} {lo} {hi} "
-            f"4000 + 1e-9 30.0 0.1 synthetic")
+            f"4000 {strand} 1e-9 30.0 0.1 synthetic")
     return "\n".join(["# target name ..."] + rows)
 
 
@@ -85,6 +88,28 @@ def test_containment_detects_disagreements():
         "zzz - synth-0 synth-0 1 48 10 1 10 1 4000 - 1e-9 30.0 0.1 x")
     report3 = compare_containment(hits, windows + rev)
     assert report3.window_recall == 1.0
+
+
+def test_stranded_hits_match_only_same_strand_windows():
+    # A '-' hit (forward coordinates) must match a '-' window at the same
+    # interval, and must NOT be claimed by a '+' window there (and vice
+    # versa) — the ADVICE round-1 finding on validate --strand both.
+    minus_hit = [("chrT", 100, "mod", "-")]
+    plus_window = parse_tblout(
+        "chrT - mod mod 1 48 90 110 90 110 4000 + 1e-9 30.0 0.1 x")
+    minus_window = parse_tblout(
+        "chrT - mod mod 1 48 110 90 110 90 4000 - 1e-9 30.0 0.1 x")
+    rep = compare_containment(minus_hit, plus_window + minus_window,
+                              watson_only=False)
+    assert rep.hit_recall == 1.0
+    assert rep.windows_covered == 1  # only the '-' window
+    rep2 = compare_containment(minus_hit, plus_window, watson_only=False)
+    assert rep2.hit_recall == 0.0
+    # Legacy 3-tuple hits (no strand) still match either strand.
+    rep3 = compare_containment([("chrT", 100, "mod")],
+                               plus_window + minus_window, watson_only=False)
+    assert rep3.hits_contained == 1
+    assert rep3.windows_covered == 2
 
 
 def test_quantization_report_planted_vs_background():
