@@ -75,6 +75,7 @@ class RunStats:
     decode_seconds: float = 0.0
     num_raw_hits: int = 0
     overflow_retries: int = 0
+    num_unverified: int = 0  # populated when verify_hits=True
 
     @property
     def gcups(self) -> float:
@@ -112,6 +113,7 @@ class Havac:
         isolate_models: bool = False,
         seed: int = 0x5A5A,
         checkpoint_path: Optional[str] = None,
+        verify_hits: bool = False,
         mesh=None,
         mesh_axis: str = "seq",
         dist_rows_per_step: int = 128,
@@ -156,6 +158,13 @@ class Havac:
         # restarted with the same inputs continues from the last chunk.
         self.checkpoint_path = checkpoint_path
         self.resumed_chunks = 0
+        # Batch hit verification (HitVerifier analog): after the sweep,
+        # re-derive every raw hit by bounded re-SSV and fail the run if any
+        # hit is not reproduced — the claim the reference's live API makes
+        # but never honors (`host/Havac.hpp:74-77`; the real implementation
+        # is the stale `host/host/HitVerifier.cpp:68-113`).
+        self.verify_hits = verify_hits
+        self.verification = None  # VerificationReport after a verified run
         # Multi-chip path (BASELINE config 3): sequence-sharded wavefront
         # pipeline over a jax Mesh, exact across shard seams. Column chunking
         # and checkpointing don't apply (the database lives sharded in HBM).
@@ -402,6 +411,45 @@ class Havac:
             )
         return resolved
 
+    def verify(self, initial_bound: int = 64):
+        """Re-derive every raw hit by bounded re-SSV (exact, with
+        escalation); returns a ``VerificationReport``. Runs automatically at
+        the end of the sweep when constructed with ``verify_hits=True``
+        (where a failure turns the run into an ERROR)."""
+        self._require_completed()
+        return self._verify_raw(self._hit_rows, self._hit_positions,
+                                initial_bound=initial_bound)
+
+    def _verify_raw(self, rows: np.ndarray, positions: np.ndarray,
+                    initial_bound: int = 64):
+        from havac_tpu.hits.verify import verify_hits as _vh
+
+        codes = self.database.codes
+        if positions.size and int(positions.max()) >= codes.shape[0]:
+            # Sweep paths pad the database with zero codes up to a block
+            # multiple; extend identically so pad-region raw hits replay
+            # over the same symbols the kernel saw.
+            codes = np.pad(codes,
+                           (0, int(positions.max()) + 1 - codes.shape[0]))
+        return _vh(rows, positions, codes, self.scores,
+                   reset_rows=self.reset_rows, initial_bound=initial_bound)
+
+    def _maybe_verify(self) -> None:
+        """Auto-verification hook, called by every run loop just before the
+        COMPLETED transition; raises HitVerificationError on failure."""
+        if not self.verify_hits:
+            return
+        from havac_tpu.hits.verify import HitVerificationError
+
+        report = self._verify_raw(self._hit_rows, self._hit_positions)
+        self.verification = report
+        self.stats.num_unverified = report.num_hits - report.num_verified
+        if not report.all_verified:
+            raise HitVerificationError(report, self._hit_rows,
+                                       self._hit_positions)
+        log.info("verified %d/%d raw hits by bounded re-SSV",
+                 report.num_verified, report.num_hits)
+
     def _require_completed(self) -> None:
         state = self.state
         if state == HavacRunState.ERROR and self._error is not None:
@@ -508,6 +556,7 @@ class Havac:
             log.info("sweep complete: %d raw hits, %.3fs (%.1f GCUPS)",
                      self.stats.num_raw_hits, self.stats.sweep_seconds,
                      self.stats.gcups)
+            self._maybe_verify()
             with self._state_lock:
                 self._state = HavacRunState.COMPLETED
         except BaseException as exc:  # surfaced on wait()/hits()
@@ -573,6 +622,7 @@ class Havac:
             self.stats.num_raw_hits = int(self._hit_rows.shape[0])
             if self.checkpoint_path and os.path.exists(self.checkpoint_path):
                 os.remove(self.checkpoint_path)
+            self._maybe_verify()
             with self._state_lock:
                 self._state = HavacRunState.COMPLETED
         except BaseException as exc:
@@ -588,6 +638,7 @@ class Havac:
         self.stats.cells = self.database.padded_length * P
         self.stats.sweep_seconds = t_sweep
         self.stats.num_raw_hits = int(rows.shape[0])
+        self._maybe_verify()
         with self._state_lock:
             self._state = HavacRunState.COMPLETED
 

@@ -42,6 +42,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    choices=["forward", "both"],
                    help="scan the forward strand only (reference/--watson "
                         "behavior) or both strands")
+    p.add_argument("--verify", action="store_true",
+                   help="re-derive every raw hit by bounded re-SSV after the "
+                        "sweep and fail if any is not reproduced "
+                        "(HitVerifier analog)")
     p.add_argument("--trace", metavar="DIR", default=None,
                    help="write a JAX profiler trace of the sweep to DIR "
                         "(view with xprof/tensorboard)")
@@ -60,7 +64,8 @@ def _build_engine(args):
     return Havac(p_value=args.pvalue, backend=args.backend,
                  chunk_symbols=args.chunk_symbols, chunk_rows=args.chunk_rows,
                  strand=getattr(args, "strand", "forward"),
-                 isolate_models=getattr(args, "isolate_models", False))
+                 isolate_models=getattr(args, "isolate_models", False),
+                 verify_hits=getattr(args, "verify", False))
 
 
 class _MaybeTrace:
@@ -146,6 +151,9 @@ def cmd_benchmark(args) -> int:
         "num_chunks": engine.stats.num_chunks,
         "backend": engine.backend,
     }
+    if args.verify:
+        report["verified_hits"] = engine.verification.num_verified
+        report["unverified_hits"] = engine.stats.num_unverified
     print(json.dumps(report, indent=2))
     return 0
 
@@ -300,6 +308,7 @@ def main(argv=None) -> int:
     p_scan.add_argument("--strand", default="forward",
                         choices=["forward", "both"])
     p_scan.add_argument("--isolate-models", action="store_true")
+    p_scan.add_argument("--verify", action="store_true")
     p_scan.add_argument("--prefetch", type=int, default=1)
     p_scan.add_argument("--trace", default=None)
     p_scan.add_argument("--verbose", "-v", action="store_true")

@@ -52,6 +52,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.hv_fasta_lengths.argtypes = [p, ctypes.POINTER(i64)]
     lib.hv_fasta_name.restype = c
     lib.hv_fasta_name.argtypes = [p, i64]
+    lib.hv_fasta_encode.restype = i64
     lib.hv_fasta_encode.argtypes = [p, ctypes.POINTER(ctypes.c_uint8), i64,
                                     ctypes.c_uint64]
     lib.hv_fasta_close.argtypes = [p]
@@ -110,9 +111,13 @@ def read_fasta_encoded(
         concat_len = int(starts[-1])
         padded_len = -(-max(concat_len, 1) // pad_multiple) * pad_multiple
         codes = np.empty(padded_len, dtype=np.uint8)
-        lib.hv_fasta_encode(
+        wrote = lib.hv_fasta_encode(
             h, codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             padded_len, seed & 0xFFFFFFFFFFFFFFFF)
+        if wrote != padded_len:
+            raise NativeParseError(
+                f"{path}: encode buffer mismatch (wrote {wrote}, "
+                f"expected {padded_len})")
         return names, lengths, starts, codes
     finally:
         lib.hv_fasta_close(h)

@@ -287,8 +287,15 @@ const char* hv_fasta_name(void* h, int64_t i) {
 // seq0, SEP, seq1, SEP, ..., PAD — 2-bit codes with deterministic
 // position-keyed randomization of separators/pads/ambiguity codes
 // (SequencePreprocessor.cpp:37-85 semantics, made stateless).
-void hv_fasta_encode(void* h, uint8_t* out, int64_t padded_len, uint64_t seed) {
+// Returns the number of symbols written, or -1 if padded_len is smaller
+// than the concatenated database (sum of lengths + one separator each) —
+// the buffer size is caller-provided and must not be trusted blindly.
+int64_t hv_fasta_encode(void* h, uint8_t* out, int64_t padded_len,
+                        uint64_t seed) {
   Fasta* fa = static_cast<Fasta*>(h);
+  int64_t needed = 0;
+  for (size_t s = 0; s < fa->names.size(); s++) needed += fa->lengths[s] + 1;
+  if (padded_len < needed) return -1;
   int64_t gp = 0;
   auto emit = [&](uint8_t cls) {
     uint8_t code;
@@ -310,6 +317,7 @@ void hv_fasta_encode(void* h, uint8_t* out, int64_t padded_len, uint64_t seed) {
     emit(10);  // separator
   }
   while (gp < padded_len) emit(10);  // pad
+  return gp;
 }
 void hv_fasta_close(void* h) { delete static_cast<Fasta*>(h); }
 
@@ -337,3 +345,63 @@ void hv_hmm_scores(void* h, int64_t i, float* out) {
 void hv_hmm_close(void* h) { delete static_cast<Hmm*>(h); }
 
 }  // extern "C"
+
+// ------------------------------------------------------- ASan self-test main
+//
+// Built by `make debug` with -fsanitize=address (the reference ships an ASan
+// debug target per tool, `test/hmmerValidation/makefile:19-20`). Parses every
+// argv path as both FASTA and HMM, encodes FASTA databases into exactly-sized
+// and deliberately undersized buffers, and exits 0 as long as nothing
+// crashes — malformed inputs must surface as error strings, never as memory
+// errors (which ASan turns into a nonzero exit).
+
+#ifdef HAVAC_NATIVE_SELFTEST
+int main(int argc, char** argv) {
+  for (int a = 1; a < argc; a++) {
+    {
+      void* h = hv_fasta_open(argv[a]);
+      const char* err = hv_fasta_error(h);
+      if (err && err[0]) {
+        std::printf("fasta %s: ERROR %s\n", argv[a], err);
+      } else {
+        int64_t n = hv_fasta_num(h);
+        std::vector<int64_t> lens(static_cast<size_t>(n));
+        if (n) hv_fasta_lengths(h, lens.data());
+        int64_t needed = 0;
+        for (int64_t k = 0; k < n; k++) needed += lens[static_cast<size_t>(k)] + 1;
+        std::vector<uint8_t> buf(static_cast<size_t>(needed + 64));
+        int64_t wrote = hv_fasta_encode(h, buf.data(), needed + 64, 0x5A5A);
+        // Undersized buffer must be rejected, not overflowed.
+        int64_t reject = needed > 0
+            ? hv_fasta_encode(h, buf.data(), needed - 1, 0x5A5A) : 0;
+        std::printf("fasta %s: %lld seqs, wrote %lld, undersized->%lld\n",
+                    argv[a], static_cast<long long>(n),
+                    static_cast<long long>(wrote),
+                    static_cast<long long>(reject));
+        for (int64_t k = 0; k < n; k++) (void)hv_fasta_name(h, k);
+      }
+      hv_fasta_close(h);
+    }
+    {
+      void* h = hv_hmm_open(argv[a]);
+      const char* err = hv_hmm_error(h);
+      if (err && err[0]) {
+        std::printf("hmm %s: ERROR %s\n", argv[a], err);
+      } else {
+        int64_t n = hv_hmm_count(h);
+        for (int64_t k = 0; k < n; k++) {
+          std::vector<float> sc(static_cast<size_t>(
+              hv_hmm_leng(h, k) * hv_hmm_card(h, k)));
+          hv_hmm_scores(h, k, sc.data());
+          (void)hv_hmm_name(h, k);
+          (void)hv_hmm_alph(h, k);
+        }
+        std::printf("hmm %s: %lld models\n", argv[a],
+                    static_cast<long long>(n));
+      }
+      hv_hmm_close(h);
+    }
+  }
+  return 0;
+}
+#endif  // HAVAC_NATIVE_SELFTEST

@@ -91,3 +91,53 @@ def test_native_error_reporting(tmp_path):
     badfa.write_text("ACGT\n>late\nACGT\n")
     with pytest.raises(native.NativeParseError):
         native.read_fasta_encoded(str(badfa))
+
+
+def test_native_malformed_inputs_error_cleanly(tmp_path):
+    """Binary garbage, truncated models, and missing files must surface as
+    parse errors through the ctypes path — never crashes."""
+    rng = np.random.default_rng(7)
+    garbage = tmp_path / "garbage.bin"
+    garbage.write_bytes(rng.integers(0, 256, size=4096).astype(np.uint8)
+                        .tobytes())
+    trunc = tmp_path / "trunc.hmm"
+    trunc.write_text(
+        "HMMER3/f [3.1b2]\nNAME t\nLENG 50\nALPH DNA\n"
+        "STATS LOCAL MSV -9.0 0.7\nHMM A C G T\n   m->m\n"
+        "  1 0.1 0.2 0.3 0.4\n")  # 1 of 50 rows, no //
+    for path in (garbage, trunc):
+        with pytest.raises(native.NativeParseError):
+            native.read_hmm_native(str(path))
+    with pytest.raises(native.NativeParseError):
+        native.read_fasta_encoded(str(garbage))
+    with pytest.raises(native.NativeParseError):
+        native.read_fasta_encoded(str(tmp_path / "missing.fasta"))
+
+
+def test_asan_selftest_on_malformed_inputs(tmp_path):
+    """Build the ASan debug target (`make debug`, the reference's per-tool
+    sanitizer build, test/hmmerValidation/makefile:19-20) and drive the
+    self-test binary over malformed inputs: any heap error aborts nonzero."""
+    native_dir = os.path.dirname(os.path.abspath(native.__file__))
+    build = subprocess.run(["make", "-C", native_dir, "debug"],
+                           capture_output=True, timeout=300)
+    if build.returncode != 0:
+        pytest.skip(f"ASan build unavailable: {build.stderr.decode()[:200]}")
+    exe = os.path.join(native_dir, "havac_native_selftest")
+    rng = np.random.default_rng(11)
+    garbage = tmp_path / "g.bin"
+    garbage.write_bytes(rng.integers(0, 256, size=2048).astype(np.uint8)
+                        .tobytes())
+    okfa = tmp_path / "ok.fasta"
+    okfa.write_text(">a\nACGTRYN\n>b\nTTTT\n")
+    trunc = tmp_path / "t.hmm"
+    trunc.write_text("HMMER3/f\nNAME t\nLENG 9\nALPH DNA\n"
+                     "STATS LOCAL MSV -9.0 0.7\nHMM A C G T\nx\n"
+                     "  1 0.1 0.2 0.3 0.4\n")
+    res = subprocess.run(
+        [exe, str(garbage), str(okfa), str(trunc), "/nonexistent"],
+        capture_output=True, timeout=120)
+    assert res.returncode == 0, res.stderr.decode()[:500]
+    out = res.stdout.decode()
+    assert "undersized->-1" in out  # oversize-write guard engaged
+    assert "ERROR" in out  # malformed inputs reported, not crashed
