@@ -2,19 +2,26 @@
 
 The reference has no distributed transport (its only "transport" is XRT PCIe
 buffer sync, `host/HavacHwClient.cpp:104,132`); scaling past one host is new
-scope (SURVEY.md §2.5). The TPU-native recipe:
+scope (SURVEY.md §2.5). The TPU-native recipe — executed end-to-end by
+tests/test_multihost.py with two real OS processes over a CPU mesh:
 
-  1. every host calls :func:`initialize` (JAX's distributed runtime over DCN);
+  1. every host calls :func:`initialize` (JAX's distributed runtime over
+     DCN; on the test rig, localhost TCP);
   2. :func:`global_sequence_mesh` builds one mesh over all chips in the
      slice; the engine's wavefront path then runs unchanged — XLA routes the
      per-strip seam `ppermute` over ICI within a host and DCN across hosts
      (one R-entry int32 vector per seam per strip, negligible vs the sweep);
-  3. each host feeds only its local shard of the database
-     (:func:`host_local_codes` gives the per-host slice + global offset), and
-     hit decode runs on the host that owns the shard.
+  3. each host packs and stages ONLY its local shard of the database
+     (:func:`host_local_codes` for the slice, :func:`stage_sharded` /
+     `jax.make_array_from_process_local_data` for assembly into the global
+     sharded array) — no process ever materializes the full device array;
+  4. hit decode runs on the host that owns the shard
+     (`SwarDistributedSweep` decodes its addressable record shards only;
+     coordinates are global, so concatenating per-host outputs gives the
+     exact global hit list).
 
-On a single host this degrades to the plain mesh the tests use, so the same
-code path is exercised by the CPU-mesh suite.
+On a single host every helper degrades to plain device_put/mesh, so the
+same code path is exercised by the single-process CPU-mesh suite.
 """
 
 from __future__ import annotations
@@ -68,8 +75,8 @@ def host_local_codes(codes: np.ndarray, mesh, axis: str = "seq"
                      ) -> Tuple[np.ndarray, int]:
     """This process's contiguous slice of the database + its global offset.
 
-    With jax.make_array_from_process_local_data, each host materializes only
-    its slice of the sharded codes array instead of the full database."""
+    With :func:`stage_sharded`, each host materializes only its slice of the
+    sharded codes array instead of the full database."""
     import jax
 
     D = mesh.shape[axis]
@@ -87,3 +94,98 @@ def host_local_codes(codes: np.ndarray, mesh, axis: str = "seq"
     lo = jax.process_index() * per_host * shard
     hi = min(L, lo + per_host * shard)
     return codes[lo:hi], lo
+
+
+def local_row_range(total_rows: int, mesh, axis: str) -> Tuple[int, int]:
+    """[lo, hi) of the leading-axis rows this process's shards cover under a
+    1-D NamedSharding P(axis) over ``total_rows`` rows."""
+    import jax
+
+    D = mesh.shape[axis]
+    procs = jax.process_count()
+    if D % procs:
+        raise ValueError(f"axis {axis!r} size {D} not divisible by "
+                         f"{procs} processes")
+    per = total_rows // D * (D // procs)
+    lo = jax.process_index() * per
+    return lo, lo + per
+
+
+def stage_sharded(local_rows: np.ndarray, sharding, global_rows: int):
+    """Assemble a global array sharded on its leading axis from this
+    process's contiguous row slice (`jax.make_array_from_process_local_data`;
+    plain device_put single-process). ``local_rows`` must be exactly the
+    rows this process's devices own under ``sharding``."""
+    import jax
+    import jax.numpy as jnp
+
+    global_shape = (global_rows,) + tuple(local_rows.shape[1:])
+    if jax.process_count() == 1:
+        assert local_rows.shape[0] == global_rows
+        return jax.device_put(jnp.asarray(local_rows), sharding)
+    return jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(local_rows), global_shape)
+
+
+def stage_from_full(value: np.ndarray, sharding):
+    """Global sharded array from a host-resident full copy: slice per
+    addressable device and upload only the local shards
+    (`jax.make_array_from_single_device_arrays`). Works for any sharding —
+    used by the 2D (sequence × model) path where shards replicate across the
+    model axis."""
+    import jax
+
+    idx_map = sharding.addressable_devices_indices_map(value.shape)
+    arrays = [jax.device_put(value[idx], dev)
+              for dev, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(
+        value.shape, sharding, arrays)
+
+
+def device_zeros(shape, dtype, sharding):
+    """Sharded all-zeros array materialized directly on device (no host
+    copy, multi-host safe)."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = jax.jit(lambda: jnp.zeros(shape, dtype), out_shardings=sharding)
+    return fn()
+
+
+_RECORD_MAX_FNS = {}
+
+
+def global_record_max(packeds, mesh):
+    """Global max of the packed-record (nrec, ngroups) header over EVERY
+    shard, replicated to every process — multi-host capacity-retry decisions
+    must be identical on all hosts (a host that only saw its own shards
+    overflow would recompile with bigger caps while the others don't, and
+    the next collective would deadlock). Returns None single-process, where
+    the local decode already sees every shard."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if jax.process_count() == 1:
+        return None
+    key = (mesh, packeds.ndim)
+    if key not in _RECORD_MAX_FNS:
+        rep = NamedSharding(mesh, PartitionSpec())
+        axes = tuple(range(packeds.ndim - 1))
+        _RECORD_MAX_FNS[key] = jax.jit(
+            lambda p: jnp.max(p[..., :2], axis=axes), out_shardings=rep)
+    return np.asarray(_RECORD_MAX_FNS[key](packeds))
+
+
+def stage_replicated(value: np.ndarray, mesh):
+    """Replicate a host-identical array across every device of the mesh
+    (every process passes the same value)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(value), rep)
+    value = np.ascontiguousarray(value)
+    return jax.make_array_from_process_local_data(rep, value, value.shape)

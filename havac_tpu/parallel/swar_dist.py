@@ -19,7 +19,7 @@ is a small packed record vector, not gigabytes of bitmap tiles.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -175,18 +175,27 @@ class SwarDistributedSweep:
         blocks_per_chunk = max(1, budget_tiles // (strips * nflush))
         self.col_chunks = max(1, -(-shard_blocks // blocks_per_chunk))
         shard_blocks = round_up(shard_blocks, self.col_chunks)
-        L2 = shard_blocks * self.D * self.W
-        padded = np.zeros(L2, dtype=np.uint8)
-        padded[:L] = codes
         self.L = L
         self.shard_blocks = shard_blocks
         self.shard_width = shard_blocks * self.W
         self.chunk_blocks = shard_blocks // self.col_chunks
         self.maxt = self.chunk_blocks * strips * nflush
 
+        # Multi-host staging: each process packs + uploads ONLY the blocks
+        # its own devices shard (jax.make_array_from_process_local_data
+        # assembles the global array); a host never materializes the other
+        # hosts' device data. Single-process this is the whole database.
+        from havac_tpu.parallel.multihost import local_row_range, stage_sharded
+
         self._shard = NamedSharding(mesh, P(axis))
-        self.symw_dev = jax.device_put(
-            jnp.asarray(pack_symbols(padded, self.W3)), self._shard)
+        G = shard_blocks * self.D  # global packed blocks
+        b_lo, b_hi = local_row_range(G, mesh, axis)
+        lo, hi = b_lo * self.W, min(L, b_hi * self.W)
+        local_padded = np.zeros((b_hi - b_lo) * self.W, dtype=np.uint8)
+        if hi > lo:
+            local_padded[: hi - lo] = codes[lo:hi]
+        self.symw_dev = stage_sharded(
+            pack_symbols(local_padded, self.W3), self._shard, G)
         self._fns = {}
 
     def run(self, scores: np.ndarray,
@@ -215,15 +224,16 @@ class SwarDistributedSweep:
         S = P2 // self.R
         sc = np.full((P2, 4), -128, dtype=np.int32)
         sc[:P_] = scores.astype(np.int32)
-        sc_strips = jnp.asarray(
-            (sc + 256).reshape(S, self.R // ROWS_PER_STRIP, ROWS_PER_STRIP, 4))
-        rep = NamedSharding(self.mesh, P())
-        sc_dev = jax.device_put(sc_strips, rep)
+        sc_strips = (sc + 256).reshape(
+            S, self.R // ROWS_PER_STRIP, ROWS_PER_STRIP, 4)
+        from havac_tpu.parallel.multihost import stage_replicated
+
+        sc_dev = stage_replicated(sc_strips, self.mesh)
         isolate = reset_rows is not None
         rr = np.zeros(P2, dtype=np.int32)
         if isolate:
             rr[:P_] = np.asarray(reset_rows, dtype=np.int32)
-        rr_dev = jax.device_put(jnp.asarray(rr.reshape(S, self.R)), rep)
+        rr_dev = stage_replicated(rr.reshape(S, self.R), self.mesh)
 
         key = (S, isolate)
         if key not in self._fns:
@@ -231,39 +241,56 @@ class SwarDistributedSweep:
                 self.mesh, self.axis, self.W3, self.R, S, self.maxt,
                 self.record_cap, self.group_cap, self.interpret,
                 col_chunks=self.col_chunks, isolate=isolate)
-        istate = jax.device_put(
-            jnp.zeros_like(self.symw_dev), self._shard)
+        from havac_tpu.parallel.multihost import device_zeros
+
+        G = self.shard_blocks * self.D
+        istate = device_zeros((G, self.W3 // 128, 128), jnp.int32,
+                              self._shard)
         _, packeds = self._fns[key](self.symw_dev, sc_dev, rr_dev, istate)
-        packeds = np.asarray(packeds)  # (D, T, CC, 2 + maxt + 2*cap)
+
+        from havac_tpu.parallel.multihost import global_record_max
+
+        gmax = global_record_max(packeds, self.mesh)
+        if gmax is not None and (gmax[0] > self.record_cap
+                                 or gmax[1] > self.group_cap):
+            raise _RecordCapacityExceeded(int(gmax[0]), int(gmax[1]))
 
         cap = self.record_cap
         maxt = self.maxt
         S_strips = self.R // ROWS_PER_STRIP
         chunk_width = self.chunk_blocks * self.W
         all_rows, all_pos = [], []
-        for d in range(self.D):
-            for t in range(packeds.shape[1]):
-                s = t - d
-                if not (0 <= s < S):
-                    continue
-                for c in range(self.col_chunks):
-                    vec = packeds[d, t, c]
-                    n, ngroups = int(vec[0]), int(vec[1])
-                    if n > cap or ngroups > self.group_cap:
-                        raise _RecordCapacityExceeded(n, ngroups)
-                    if n == 0:
+        # Decode only this process's addressable shards of the packed record
+        # output (hits for the shards this host owns); coordinates are
+        # global, so multi-host runs concatenate per-host results for the
+        # exact global list. Single-process, this covers every shard.
+        for sh in packeds.addressable_shards:
+            d0 = sh.index[0].start or 0
+            arr = np.asarray(sh.data)  # (Dl, T, CC, 2 + maxt + 2*cap)
+            for dd in range(arr.shape[0]):
+                d = d0 + dd
+                for t in range(arr.shape[1]):
+                    s = t - d
+                    if not (0 <= s < S):
                         continue
-                    ometa = vec[2:2 + maxt]
-                    idx = vec[2 + maxt:2 + maxt + n].astype(np.int64)
-                    words = vec[2 + maxt + cap:2 + maxt + cap + n]
-                    slots = idx // self.W3
-                    word_idx = idx % self.W3
-                    ids = ometa[slots]
-                    rows, pos = decode_swar_flat(ids, word_idx, words,
-                                                 S_strips, self.W3)
-                    all_rows.append(rows + s * self.R)
-                    all_pos.append(pos + d * self.shard_width
-                                   + c * chunk_width)
+                    for c in range(self.col_chunks):
+                        vec = arr[dd, t, c]
+                        n, ngroups = int(vec[0]), int(vec[1])
+                        if n > cap or ngroups > self.group_cap:
+                            raise _RecordCapacityExceeded(n, ngroups)
+                        if n == 0:
+                            continue
+                        ometa = vec[2:2 + maxt]
+                        idx = vec[2 + maxt:2 + maxt + n].astype(np.int64)
+                        words = vec[2 + maxt + cap:2 + maxt + cap + n]
+                        slots = idx // self.W3
+                        word_idx = idx % self.W3
+                        ids = ometa[slots]
+                        rows, pos = decode_swar_flat(ids, word_idx, words,
+                                                     S_strips, self.W3)
+                        all_rows.append(rows + s * self.R)
+                        all_pos.append(pos + d * self.shard_width
+                                       + c * chunk_width)
         if not all_rows:
             return (np.empty(0, dtype=np.int64),) * 2
         rows = np.concatenate(all_rows)

@@ -169,9 +169,14 @@ class Swar2DSweep:
         self.chunk_blocks = shard_blocks // self.col_chunks
         self.maxt = self.chunk_blocks * strips * nflush
 
+        # Multi-host: upload only this process's device shards (the array
+        # replicates across the model axis, so the generic slice-per-device
+        # staging is used rather than process-contiguous assembly).
+        from havac_tpu.parallel.multihost import stage_from_full
+
         self._seq_shard = NamedSharding(mesh, P(seq_axis))
-        self.symw_dev = jax.device_put(
-            jnp.asarray(pack_symbols(padded, self.W3)), self._seq_shard)
+        self.symw_dev = stage_from_full(pack_symbols(padded, self.W3),
+                                        self._seq_shard)
         self._fns = {}
 
     def run(self, scores: np.ndarray, prefix_sums: np.ndarray,
@@ -212,54 +217,70 @@ class Swar2DSweep:
             rr_g[g, :nr] = reset_rows[r0:r0 + nr]
             rr_g[g, 0] = 1  # group start is always a model start
         strips = self.R // ROWS_PER_STRIP
-        sc_dev = jax.device_put(
-            jnp.asarray((sc_g + 256).reshape(self.D_model, S, strips,
-                                             ROWS_PER_STRIP, 4)),
-            NamedSharding(self.mesh, P(self.model_axis)))
-        rr_dev = jax.device_put(
-            jnp.asarray(rr_g.reshape(self.D_model, S, self.R)),
-            NamedSharding(self.mesh, P(self.model_axis)))
+        from havac_tpu.parallel.multihost import device_zeros, stage_from_full
+
+        model_shard = NamedSharding(self.mesh, P(self.model_axis))
+        sc_dev = stage_from_full(
+            (sc_g + 256).reshape(self.D_model, S, strips, ROWS_PER_STRIP, 4),
+            model_shard)
+        rr_dev = stage_from_full(rr_g.reshape(self.D_model, S, self.R),
+                                 model_shard)
 
         if S not in self._fns:
             self._fns[S] = make_swar_dist2d_fn(
                 self.mesh, self.seq_axis, self.model_axis, self.W3, self.R,
                 S, self.maxt, self.record_cap, self.group_cap, self.interpret,
                 col_chunks=self.col_chunks)
-        istate = jax.device_put(jnp.zeros_like(self.symw_dev),
-                                self._seq_shard)
-        packeds = np.asarray(self._fns[S](self.symw_dev, sc_dev, rr_dev,
-                                          istate))
+        istate = device_zeros(self.symw_dev.shape, jnp.int32,
+                              self._seq_shard)
+        packeds = self._fns[S](self.symw_dev, sc_dev, rr_dev, istate)
+
+        from havac_tpu.parallel.multihost import global_record_max
+
+        gmax = global_record_max(packeds, self.mesh)
+        if gmax is not None and (gmax[0] > self.record_cap
+                                 or gmax[1] > self.group_cap):
+            raise _RecordCapacityExceeded(int(gmax[0]), int(gmax[1]))
 
         cap = self.record_cap
         maxt = self.maxt
         chunk_width = self.chunk_blocks * self.W
         all_rows, all_pos = [], []
-        for g in range(self.D_model):
-            for d in range(self.D_seq):
-                for t in range(packeds.shape[2]):
-                    s = t - d
-                    if not (0 <= s < S):
-                        continue
-                    for c in range(self.col_chunks):
-                        vec = packeds[g, d, t, c]
-                        n, ngroups = int(vec[0]), int(vec[1])
-                        if n > cap or ngroups > self.group_cap:
-                            raise _RecordCapacityExceeded(n, ngroups)
-                        if n == 0:
+        # Decode this process's addressable record shards only (global
+        # coordinates; per-host outputs concatenate to the exact global
+        # list — same contract as SwarDistributedSweep).
+        for sh in packeds.addressable_shards:
+            g0 = sh.index[0].start or 0
+            d0 = sh.index[1].start or 0
+            arr = np.asarray(sh.data)
+            for gg in range(arr.shape[0]):
+                g = g0 + gg
+                for dd in range(arr.shape[1]):
+                    d = d0 + dd
+                    for t in range(arr.shape[2]):
+                        s = t - d
+                        if not (0 <= s < S):
                             continue
-                        ometa = vec[2:2 + maxt]
-                        idx = vec[2 + maxt:2 + maxt + n].astype(np.int64)
-                        words = vec[2 + maxt + cap:2 + maxt + cap + n]
-                        slots = idx // self.W3
-                        word_idx = idx % self.W3
-                        ids = ometa[slots]
-                        rows, pos = decode_swar_flat(ids, word_idx, words,
-                                                     strips, self.W3)
-                        rows = rows + s * self.R
-                        keep = rows < g_rows[g]
-                        all_rows.append(rows[keep] + g_row0[g])
-                        all_pos.append(pos[keep] + d * self.shard_width
-                                       + c * chunk_width)
+                        for c in range(self.col_chunks):
+                            vec = arr[gg, dd, t, c]
+                            n, ngroups = int(vec[0]), int(vec[1])
+                            if n > cap or ngroups > self.group_cap:
+                                raise _RecordCapacityExceeded(n, ngroups)
+                            if n == 0:
+                                continue
+                            ometa = vec[2:2 + maxt]
+                            idx = vec[2 + maxt:2 + maxt + n].astype(np.int64)
+                            words = vec[2 + maxt + cap:2 + maxt + cap + n]
+                            slots = idx // self.W3
+                            word_idx = idx % self.W3
+                            ids = ometa[slots]
+                            rows, pos = decode_swar_flat(
+                                ids, word_idx, words, strips, self.W3)
+                            rows = rows + s * self.R
+                            keep = rows < g_rows[g]
+                            all_rows.append(rows[keep] + g_row0[g])
+                            all_pos.append(pos[keep] + d * self.shard_width
+                                           + c * chunk_width)
         if not all_rows:
             return (np.empty(0, dtype=np.int64),) * 2
         rows = np.concatenate(all_rows)

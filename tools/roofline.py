@@ -1,38 +1,55 @@
-"""Op-mix roofline for the SSV kernels: what the VPU can actually sustain.
+"""Op-mix roofline for the SWAR SSV kernel: what the VPU can sustain on the
+exact per-row op sequence, measured on real hardware.
 
-The judged headline is GCUPS on one chip; the question this tool answers is
-how close the shipping SWAR kernel is to the hardware's ceiling for *exact*
+This bounds the achievable GCUPS of any kernel implementing exact 8-bit
 SSV semantics, with a measured artifact instead of an assertion
-(BENCHMARKS.md claims ~500 GCUPS/chip is the VPU ceiling; VERDICT round 1
-asked for the proof).
+(BENCHMARKS.md claimed ~500 GCUPS/chip was the VPU ceiling; VERDICT round 1
+asked for the proof — the measured ceiling turned out ~2x higher, see
+BENCHMARKS.md "Roofline").
 
-Each variant is a Pallas kernel whose grid step runs K unrolled "rows" of an
-op mix over a (WS, 128) int32 VMEM buffer (the same shape/layout as the live
-kernel's state), carrying the state through so nothing is dead-code
-eliminated. Variants:
+Measurement design (three earlier versions measured nothing):
+  * the op mix runs inside ONE Pallas grid step, operands loaded to VMEM
+    once, iterated by an internal ``fori_loop`` — a version that iterated
+    via the pallas grid was DMA-bound at ~25% of compute;
+  * the loop trip count is a RUNTIME SMEM scalar; each variant is timed at
+    two rep counts with one compiled executable and the reported time is
+    the DIFFERENCE per rep — cancels fixed dispatch + tunnel round-trip
+    (~30 ms on the axon rig), which swamped absolute timings;
+  * the compiler must be prevented from shortening the mix: scores are
+    indexed by a rep-rotating strip index (else the whole match
+    construction hoists out of the loop), the hit bitmap folds into a
+    checksum at every flush (else the hit ops are dead code), and the add
+    chain uses shift-xor (else it strength-reduces to one op). A naive
+    version measured an impossible 11 VPU ops/cycle on 4-issue hardware.
 
-  current   — the live SWAR per-row sequence (`ops/ssv_swar.py`, hot loop):
-              indicator-plane match construction, lane+sublane roll, seam
-              stitch, biased add, bit-9 hit probe, bitmap accumulate, keep
-              mask, state update. The measured GCUPS of this variant IS the
-              op-mix ceiling for the shipping kernel (no SMEM stores, no
-              DMA, no grid bubbles).
+Variants:
+
+  current   — the live SWAR per-row vector sequence (`ops/ssv_swar.py` hot
+              loop): indicator-plane match construction, lane+sublane roll,
+              seam stitch, biased add, bit-9 hit probe, bitmap accumulate,
+              keep mask, state update. Vector-op ceiling for the shipping
+              kernel.
+  perrow    — current PLUS the shipping kernel's per-row scalar side: the
+              (WS-1,127) tail extract, the SMEM carry-queue write, the
+              ocarry SMEM write, and the dynamic carry-queue read feeding
+              the stitch. The current→perrow delta is what the scalar/SMEM
+              chatter costs; this is the honest per-strip ceiling.
   leanhit   — candidate cheaper hit/keep logic: bit-9 mask accumulated into
-              the bitmap directly ((bits>>1)|B9, decode flips row order) and
-              keep mask via keep - (keep>>8) instead of (...)*255.
-  nomatch   — current minus match construction (splat only): bounds what a
-              free match gather would buy.
-  noroll    — current minus roll/stitch (match + arithmetic only): bounds
-              what a free position shift would buy.
-  addonly   — pure dependent int32 add chain: the VPU's raw op rate.
-  int8mix   — the int8 4-cells/lane candidate (reference-style carry trick,
-              `device/HavacHls.cpp:376-386`): select-tree match, wrapping
-              add, unsigned-compare carry, xor reset; measures whether
-              Mosaic runs int8 elementwise at >1 cell/lane/op on this chip.
-  int16mix  — the same recurrence on int16 (2 cells/lane candidate).
+              the bitmap directly ((bits>>1)|B9; decode flips row order)
+              and keep mask via keep - (keep>>8) instead of (...)*255.
+  nomatch   — current minus match construction (splat only): what a free
+              match gather would buy.
+  noroll    — current minus roll/stitch (match + arithmetic only): what a
+              free position shift would buy.
+  addonly   — irreducible shift-xor chain, one op per "row": the VPU's raw
+              dependent-op rate on this buffer size.
+  add16     — the same chain on int16 (2 elts/lane candidate).
+  add8 / int8mix / int16mix — narrow-int probes; Mosaic's remote compiler
+              crashes on int8/int16 fori_loop kernels on this rig (kept for
+              documentation; run with --variants to retry).
 
-Usage:  python tools/roofline.py [--ws 336] [--iters 40] [--json out.json]
-Writes a table to stdout (and JSON for BENCHMARKS.md provenance).
+Usage:  python tools/roofline.py [--ws 336] [--lo 64] [--hi 16448]
+                                 [--json out.json]
 """
 
 from __future__ import annotations
@@ -49,30 +66,44 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 FMASK = 0x00100401
 ROWS_PER_FLUSH = 10
+NS = 16  # score strips in SMEM; rep r uses strip r % NS (anti-hoisting)
 
 
-def _time_variant(fn, *, warmup=2, iters=5):
+def _time_call(fn, arg, *, iters):
     import jax
 
-    out = fn()
-    jax.block_until_ready(out)
-    for _ in range(warmup - 1):
-        out = fn()
-        jax.block_until_ready(out)
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]  # force a real fetch
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn()
+        out = fn(arg)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     return min(times)
 
 
-def make_variant(name: str, WS: int, K: int, R: int, interpret: bool = False):
-    """Build a jitted runner for one op-mix variant.
+def _time_variant(run, lo: int, hi: int, *, iters=5):
+    """Seconds per rep via differential timing: (t(hi) - t(lo)) / (hi - lo).
 
-    Returns (run, cells_per_call, lanes_desc)."""
+    One compiled executable serves both rep counts (runtime scalar), so the
+    difference cancels every fixed cost — dispatch, transfer latency, the
+    final D2H pull."""
+    import jax
+    import jax.numpy as jnp
+
+    lo_a = jnp.asarray([lo], jnp.int32)
+    hi_a = jnp.asarray([hi], jnp.int32)
+    out = run(hi_a)
+    jax.block_until_ready(out)  # compile once
+    t_lo = _time_call(run, lo_a, iters=iters)
+    t_hi = _time_call(run, hi_a, iters=iters)
+    return (t_hi - t_lo) / (hi - lo), t_lo, t_hi
+
+
+def make_variant(name: str, WS: int, K: int, interpret: bool = False):
+    """Build a jitted runner ``run(reps: (1,) int32 array)`` for one op-mix
+    variant.
+
+    Returns (run, cells_per_rep, layout_desc)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -81,20 +112,13 @@ def make_variant(name: str, WS: int, K: int, R: int, interpret: bool = False):
     fm = FMASK
     int32_cells = 3 * WS * 128  # SWAR: 3 cells per int32 word
 
-    def mix_current(state, bits, i1, i2, i3, scores_smem, k):
-        m0 = scores_smem[0, k % 30, 0]
-        m1 = scores_smem[0, k % 30, 1]
-        m2 = scores_smem[0, k % 30, 2]
-        m3 = scores_smem[0, k % 30, 3]
+    def mix_current(state, bits, i1, i2, i3, ms, k, col0, pos00, cin):
+        m0, m1, m2, m3 = ms[k]
         match = (m0 * jnp.int32(fm)) + i1 * (m1 - m0) + i2 * (m2 - m0) + i3 * (m3 - m0)
         rolled = pltpu.roll(state, 1, 1)
         rolled_sub = pltpu.roll(rolled, 1, 0)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (WS, 128), 1)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (WS, 128), 0)
-        col0 = col_ids == 0
-        pos00 = jnp.logical_and(col0, row_ids == 0)
         shifted = jnp.where(col0, rolled_sub, rolled)
-        stitch = (rolled_sub << 10) | jnp.int32(7)
+        stitch = (rolled_sub << 10) | cin
         shifted = jnp.where(pos00, stitch, shifted)
         w = shifted + match
         t9 = w >> 9
@@ -104,20 +128,13 @@ def make_variant(name: str, WS: int, K: int, R: int, interpret: bool = False):
         state = w & (kmask * 255)
         return state, bits
 
-    def mix_leanhit(state, bits, i1, i2, i3, scores_smem, k):
-        m0 = scores_smem[0, k % 30, 0]
-        m1 = scores_smem[0, k % 30, 1]
-        m2 = scores_smem[0, k % 30, 2]
-        m3 = scores_smem[0, k % 30, 3]
+    def mix_leanhit(state, bits, i1, i2, i3, ms, k, col0, pos00, cin):
+        m0, m1, m2, m3 = ms[k]
         match = (m0 * jnp.int32(fm)) + i1 * (m1 - m0) + i2 * (m2 - m0) + i3 * (m3 - m0)
         rolled = pltpu.roll(state, 1, 1)
         rolled_sub = pltpu.roll(rolled, 1, 0)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (WS, 128), 1)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (WS, 128), 0)
-        col0 = col_ids == 0
-        pos00 = jnp.logical_and(col0, row_ids == 0)
         shifted = jnp.where(col0, rolled_sub, rolled)
-        stitch = (rolled_sub << 10) | jnp.int32(7)
+        stitch = (rolled_sub << 10) | cin
         shifted = jnp.where(pos00, stitch, shifted)
         w = shifted + match
         b9 = w & jnp.int32(fm << 9)
@@ -126,17 +143,12 @@ def make_variant(name: str, WS: int, K: int, R: int, interpret: bool = False):
         state = w & (keep - (keep >> 8))
         return state, bits
 
-    def mix_nomatch(state, bits, i1, i2, i3, scores_smem, k):
-        m0 = scores_smem[0, k % 30, 0]
-        match = m0 * jnp.int32(fm)
+    def mix_nomatch(state, bits, i1, i2, i3, ms, k, col0, pos00, cin):
+        match = ms[k][0] * jnp.int32(fm)
         rolled = pltpu.roll(state, 1, 1)
         rolled_sub = pltpu.roll(rolled, 1, 0)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (WS, 128), 1)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (WS, 128), 0)
-        col0 = col_ids == 0
-        pos00 = jnp.logical_and(col0, row_ids == 0)
         shifted = jnp.where(col0, rolled_sub, rolled)
-        stitch = (rolled_sub << 10) | jnp.int32(7)
+        stitch = (rolled_sub << 10) | cin
         shifted = jnp.where(pos00, stitch, shifted)
         w = shifted + match
         t9 = w >> 9
@@ -146,11 +158,8 @@ def make_variant(name: str, WS: int, K: int, R: int, interpret: bool = False):
         state = w & (kmask * 255)
         return state, bits
 
-    def mix_noroll(state, bits, i1, i2, i3, scores_smem, k):
-        m0 = scores_smem[0, k % 30, 0]
-        m1 = scores_smem[0, k % 30, 1]
-        m2 = scores_smem[0, k % 30, 2]
-        m3 = scores_smem[0, k % 30, 3]
+    def mix_noroll(state, bits, i1, i2, i3, ms, k, col0, pos00, cin):
+        m0, m1, m2, m3 = ms[k]
         match = (m0 * jnp.int32(fm)) + i1 * (m1 - m0) + i2 * (m2 - m0) + i3 * (m3 - m0)
         w = state + match
         t9 = w >> 9
@@ -160,11 +169,14 @@ def make_variant(name: str, WS: int, K: int, R: int, interpret: bool = False):
         state = w & (kmask * 255)
         return state, bits
 
-    def mix_addonly(state, bits, i1, i2, i3, scores_smem, k):
-        return state + i1, bits
+    def mix_addonly(state, bits, i1, i2, i3, ms, k, col0, pos00, cin):
+        # Irreducible dependent chain: one op per row (shift-xor does not
+        # strength-reduce; a plain add chain folded to a single op).
+        return (state << 1) ^ i1, bits
 
     mixes = {
         "current": mix_current,
+        "perrow": mix_current,  # + scalar/SMEM side, added in the kernel
         "leanhit": mix_leanhit,
         "nomatch": mix_nomatch,
         "noroll": mix_noroll,
@@ -173,155 +185,186 @@ def make_variant(name: str, WS: int, K: int, R: int, interpret: bool = False):
 
     if name in mixes:
         mix = mixes[name]
+        perrow = name == "perrow"
 
-        def kernel(scores_smem, i1_ref, i2_ref, i3_ref, out_ref, state_ref,
-                   bits_ref):
-            @pl.when(pl.program_id(0) == 0)
-            def _():
-                state_ref[:] = i1_ref[:]
-                bits_ref[:] = jnp.zeros_like(bits_ref)
-
+        def kernel(reps_smem, scores_smem, i1_ref, i2_ref, i3_ref, out_ref,
+                   q_ref, oc_ref):
             i1 = i1_ref[:]
             i2 = i2_ref[:]
             i3 = i3_ref[:]
-            state = state_ref[:]
-            bits = bits_ref[:]
-            for k in range(K):
-                state, bits = mix(state, bits, i1, i2, i3, scores_smem, k)
-                if (k + 1) % ROWS_PER_FLUSH == 0:
-                    bits = jnp.zeros_like(state)
-            state_ref[:] = state
-            bits_ref[:] = bits
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (WS, 128), 1)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (WS, 128), 0)
+            col0 = col_ids == 0
+            pos00 = jnp.logical_and(col0, row_ids == 0)
+            q_ref[0, 0] = 7
+            q_ref[1, 0] = 7
 
-            @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
-            def _():
-                out_ref[:] = state_ref[:] + bits_ref[:]
+            def body(r, carry):
+                state, bits, acc = carry
+                # Rep-rotating strip index: the match construction cannot
+                # hoist out of the loop (the real kernel's s varies too).
+                sidx = jax.lax.rem(r, NS)
+                ms = [[scores_smem[sidx, k, a] for a in range(4)]
+                      for k in range(K)]
+                rslot = jax.lax.rem(r, 2)
+                wslot = 1 - rslot
+                for k in range(K):
+                    cin = q_ref[rslot, k] if perrow else jnp.int32(7)
+                    state, bits = mix(state, bits, i1, i2, i3, ms, k,
+                                      col0, pos00, cin)
+                    if perrow:
+                        # The shipping kernel's per-row scalar side
+                        # (`ops/ssv_swar.py:221-223`): vector→scalar tail
+                        # extract + two SMEM stores.
+                        tail = state[WS - 1, 127] >> 20
+                        q_ref[wslot, k + 1] = tail
+                        oc_ref[k + 1] = tail
+                    if (k + 1) % ROWS_PER_FLUSH == 0:
+                        acc = acc ^ bits  # keep the hit ops live
+                        bits = jnp.zeros_like(state)
+                return state, bits, acc
+
+            z = jnp.zeros_like(i1)
+            state, bits, acc = jax.lax.fori_loop(
+                0, reps_smem[0], body, (i1, z, z))
+            out_ref[:] = state + bits + acc
 
         rng = np.random.default_rng(0)
         sym = rng.integers(0, 4, size=(WS, 128))
         planes = [jax.numpy.asarray(((sym == a) * FMASK).astype(np.int32))
                   for a in (1, 2, 3)]
         scores = jax.numpy.asarray(
-            rng.integers(128, 384, size=(1, 30, 4)).astype(np.int32))
+            rng.integers(128, 384, size=(NS, K, 4)).astype(np.int32))
 
         call = pl.pallas_call(
             kernel,
-            grid=(R,),
             in_specs=[
-                pl.BlockSpec((1, 30, 4), lambda r: (0, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((WS, 128), lambda r: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((WS, 128), lambda r: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((WS, 128), lambda r: (0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((WS, 128), lambda r: (0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((WS, 128), jax.numpy.int32),
             scratch_shapes=[
-                pltpu.VMEM((WS, 128), jax.numpy.int32),
-                pltpu.VMEM((WS, 128), jax.numpy.int32),
+                pltpu.SMEM((2, K + 1), jax.numpy.int32),  # carry queue
+                pltpu.SMEM((K + 1,), jax.numpy.int32),  # ocarry
             ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
             interpret=interpret,
         )
-        jitted = jax.jit(lambda: call(scores, *planes))
-        return jitted, R * K * int32_cells, "3 cells / int32 lane"
+        jitted = jax.jit(lambda reps: call(reps, scores, *planes))
+        return jitted, K * int32_cells, "3 cells / int32 lane"
+
+    if name in ("add8", "add16"):
+        dtype = jax.numpy.int8 if name == "add8" else jax.numpy.int16
+        np_dtype = np.int8 if name == "add8" else np.int16
+        rows = WS * 4 if name == "add8" else WS * 2
+
+        def kernel_add(reps_smem, i1_ref, out_ref):
+            i1 = i1_ref[:]
+
+            def body(_, state):
+                for _k in range(K):
+                    state = (state << 1) ^ i1
+                return state
+
+            out_ref[:] = jax.lax.fori_loop(0, reps_smem[0], body, i1)
+
+        rng = np.random.default_rng(0)
+        i1 = jax.numpy.asarray(
+            rng.integers(0, 3, size=(rows, 128)).astype(np_dtype))
+        call = pl.pallas_call(
+            kernel_add,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, 128), dtype),
+            interpret=interpret,
+        )
+        jitted = jax.jit(lambda reps: call(reps, i1))
+        return (jitted, K * rows * 128,
+                f"1 elt / {np.dtype(np_dtype).itemsize}-byte lane")
 
     if name in ("int8mix", "int16mix"):
-        dtype = jax.numpy.int8 if name == "int8mix" else jax.numpy.int16
-        np_dtype = np.int8 if name == "int8mix" else np.int16
-        sub = 32 if name == "int8mix" else 16  # native tile sublane count
+        is8 = name == "int8mix"
+        dtype = jax.numpy.int8 if is8 else jax.numpy.int16
+        np_dtype = np.int8 if is8 else np.int16
+        rows = WS * 4 if is8 else WS * 2  # same byte footprint as int32 case
 
-        def kernel8(m_smem, i1_ref, i2_ref, i3_ref, out_ref, state_ref,
-                    bits_ref):
-            @pl.when(pl.program_id(0) == 0)
-            def _():
-                state_ref[:] = i1_ref[:]
-                bits_ref[:] = jnp.zeros_like(bits_ref)
-
+        def kernel8(reps_smem, m_smem, i1_ref, i2_ref, i3_ref, out_ref):
             i1 = i1_ref[:] != 0
             i2 = i2_ref[:] != 0
             i3 = i3_ref[:] != 0
-            state = state_ref[:]
-            bits = bits_ref[:]
-            for k in range(K):
-                m0 = m_smem[0, k % 30, 0].astype(dtype)
-                m1 = m_smem[0, k % 30, 1].astype(dtype)
-                m2 = m_smem[0, k % 30, 2].astype(dtype)
-                m3 = m_smem[0, k % 30, 3].astype(dtype)
-                # 4:1 select-tree match gather (the reference's per-cell mux,
-                # `device/HavacHls.cpp:407-449`) — per-cell select works in
-                # this layout where SWAR fields cannot.
-                match = jnp.where(i1, m1, m0)
-                match = jnp.where(i2, m2, match)
-                match = jnp.where(i3, m3, match)
-                msign = match < 0
-                sumw = state + match  # wrapping
-                carry = sumw.astype(jnp.uint8 if name == "int8mix"
-                                    else jnp.uint16) < state.astype(
-                                        jnp.uint8 if name == "int8mix"
-                                        else jnp.uint16)
-                reset = jnp.logical_xor(carry, msign)
-                hit = jnp.logical_and(carry, jnp.logical_not(msign))
-                bits = (bits << 1) | jnp.where(hit, jnp.array(1, dtype),
-                                               jnp.array(0, dtype))
-                state = jnp.where(reset, jnp.array(0, dtype), sumw)
-                if (k + 1) % 8 == 0:
-                    bits = jnp.zeros_like(state)
-            state_ref[:] = state
-            bits_ref[:] = bits
+            one = jnp.ones((rows, 128), dtype)
+            zero = jnp.zeros((rows, 128), dtype)
 
-            @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
-            def _():
-                out_ref[:] = state_ref[:] + bits_ref[:]
+            def body(r, carry):
+                state, bits, acc = carry
+                sidx = jax.lax.rem(r, NS)
+                for k in range(K):
+                    m0 = m_smem[sidx, k, 0].astype(dtype)
+                    m1 = m_smem[sidx, k, 1].astype(dtype)
+                    m2 = m_smem[sidx, k, 2].astype(dtype)
+                    m3 = m_smem[sidx, k, 3].astype(dtype)
+                    # 4:1 select-tree match (the reference's per-cell mux,
+                    # `device/HavacHls.cpp:407-449`).
+                    match = jnp.where(i1, m1, m0)
+                    match = jnp.where(i2, m2, match)
+                    match = jnp.where(i3, m3, match)
+                    sumw = state + match  # wrapping add
+                    # carry-out of bit7/15 via logic only (no unsigned
+                    # compares / shifts — Mosaic rejects those on int8):
+                    # carry = msb((a & b) | ((a | b) & ~s))
+                    cvec = (state & match) | ((state | match) & ~sumw)
+                    carry_neg = cvec < zero
+                    msign = match < zero
+                    reset = jnp.logical_xor(carry_neg, msign)
+                    hit = jnp.logical_and(carry_neg, jnp.logical_not(msign))
+                    bits = bits + bits + jnp.where(hit, one, zero)
+                    state = jnp.where(reset, zero, sumw)
+                    if (k + 1) % 8 == 0:
+                        acc = acc ^ bits
+                        bits = jnp.zeros_like(state)
+                return state, bits, acc
 
-        rows8 = max(sub, (WS * 4) if name == "int8mix" else (WS * 2))
+            z = jnp.zeros((rows, 128), dtype)
+            state, bits, acc = jax.lax.fori_loop(
+                0, reps_smem[0], body,
+                (jnp.where(i1, one, zero), z, z))
+            out_ref[:] = state + bits + acc
+
         rng = np.random.default_rng(0)
         planes = [jax.numpy.asarray(
-            rng.integers(0, 2, size=(rows8, 128)).astype(np_dtype))
+            rng.integers(0, 2, size=(rows, 128)).astype(np_dtype))
             for _ in range(3)]
         scores = jax.numpy.asarray(
-            rng.integers(-40, 110, size=(1, 30, 4)).astype(np.int32))
+            rng.integers(-40, 110, size=(NS, K, 4)).astype(np.int32))
 
         call = pl.pallas_call(
             kernel8,
-            grid=(R,),
             in_specs=[
-                pl.BlockSpec((1, 30, 4), lambda r: (0, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((rows8, 128), lambda r: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows8, 128), lambda r: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows8, 128), lambda r: (0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((rows8, 128), lambda r: (0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((rows8, 128), dtype),
-            scratch_shapes=[
-                pltpu.VMEM((rows8, 128), dtype),
-                pltpu.VMEM((rows8, 128), dtype),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, 128), dtype),
             interpret=interpret,
         )
-        jitted = jax.jit(lambda: call(scores, *planes))
-        cells = R * K * rows8 * 128  # one cell per element
-        lanes = ("4 cells / lane (int8)" if name == "int8mix"
-                 else "2 cells / lane (int16)")
-        return jitted, cells, lanes
+        jitted = jax.jit(lambda reps: call(reps, scores, *planes))
+        return (jitted, K * rows * 128,
+                "4 cells / lane (int8)" if is8 else "2 cells / lane (int16)")
 
     raise ValueError(f"unknown variant {name!r}")
 
 
-VARIANTS = ["current", "leanhit", "nomatch", "noroll", "addonly",
-            "int8mix", "int16mix"]
+VARIANTS = ["current", "perrow", "leanhit", "nomatch", "noroll", "addonly",
+            "add16"]
 
 
 def main():
@@ -329,9 +372,11 @@ def main():
     ap.add_argument("--ws", type=int, default=336,
                     help="sublane rows of the state buffer (336 = W 129024)")
     ap.add_argument("--rows", type=int, default=30,
-                    help="unrolled rows per grid step (K)")
-    ap.add_argument("--grid", type=int, default=512,
-                    help="grid steps per call")
+                    help="unrolled rows per loop iteration (K)")
+    ap.add_argument("--lo", type=int, default=64,
+                    help="low rep count for differential timing")
+    ap.add_argument("--hi", type=int, default=16448,
+                    help="high rep count for differential timing")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--json", default=None)
     ap.add_argument("--variants", nargs="*", default=VARIANTS)
@@ -341,27 +386,30 @@ def main():
     import jax
 
     print(f"# backend={jax.default_backend()} ws={args.ws} rows={args.rows} "
-          f"grid={args.grid}")
+          f"lo={args.lo} hi={args.hi} (differential)")
     results = {}
     for name in args.variants:
         try:
-            run, cells, lanes = make_variant(
-                name, args.ws, args.rows, args.grid,
-                interpret=args.interpret)
-            dt = _time_variant(run, iters=args.iters)
-            gcups = cells / dt / 1e9
-            results[name] = {"seconds": dt, "gcups_equiv": round(gcups, 1),
-                             "layout": lanes}
-            print(f"{name:10s} {dt*1e3:9.2f} ms  {gcups:8.1f} GCUPS-equiv"
-                  f"   [{lanes}]")
+            run, cells_per_rep, lanes = make_variant(
+                name, args.ws, args.rows, interpret=args.interpret)
+            dt_rep, t_lo, t_hi = _time_variant(
+                run, args.lo, args.hi, iters=args.iters)
+            gcups = cells_per_rep / dt_rep / 1e9
+            results[name] = {
+                "sec_per_rep": dt_rep, "t_lo": t_lo, "t_hi": t_hi,
+                "gcups_equiv": round(gcups, 1), "layout": lanes}
+            print(f"{name:10s} {dt_rep*1e6:9.2f} us/rep  {gcups:8.1f} "
+                  f"GCUPS-equiv   [{lanes}]  (t_lo={t_lo*1e3:.1f}ms "
+                  f"t_hi={t_hi*1e3:.1f}ms)", flush=True)
         except Exception as exc:  # noqa: BLE001 — report per-variant support
             results[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
             print(f"{name:10s} UNSUPPORTED: {type(exc).__name__}: "
-                  f"{str(exc)[:160]}")
+                  f"{str(exc)[:160]}", flush=True)
     if args.json:
         with open(args.json, "w") as f:
             json.dump({"backend": jax.default_backend(),
-                       "ws": args.ws, "rows": args.rows, "grid": args.grid,
+                       "ws": args.ws, "rows": args.rows,
+                       "lo": args.lo, "hi": args.hi,
                        "results": results}, f, indent=2)
         print(f"# wrote {args.json}")
 
