@@ -47,10 +47,11 @@ def main() -> None:
         istate = jnp.zeros((B, W3 // 128, 128), jnp.int32)
         icarry = jnp.zeros(P + 1, jnp.int32)
 
-        def run():
-            return _ssv_swar_jit(
-                symw, scores_strips, istate, icarry,
+        def step(st):
+            out = _ssv_swar_jit(
+                symw, scores_strips, st, icarry,
                 block_words=W3, max_hit_tiles=512, interpret=False)
+            return out[0], out[1]  # chain ostate; fetch ocarry
     else:
         from havac_tpu.ops.ssv_xla import ssv_scan_xla
 
@@ -59,19 +60,40 @@ def main() -> None:
         istate = jnp.zeros(L, jnp.int32)
         icarry = jnp.zeros(P + 1, jnp.int32)
 
-        def run():
-            return ssv_scan_xla(sym_dev, scores_dev, istate, icarry)
+        def step(st):
+            bitmaps, ostate, ocarry = ssv_scan_xla(sym_dev, scores_dev, st,
+                                                   icarry)
+            return ostate, ocarry
 
-    out = run()  # compile + warm up
-    np.asarray(jax.tree.leaves(out)[-2 if on_tpu else 0])  # force full sync
-    iters = 5
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = run()  # hold the result: the experimental axon platform elides
-        jax.block_until_ready(out)  # block on discarded temporaries
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    def run_n(n):
+        # N dispatches CHAINED through the row state (the engine's own
+        # row-chunk chaining), ending in a real byte fetch: independent
+        # repeats of one executable get elided/overlapped by the axon
+        # platform and bare block_until_ready is unreliable there, so only
+        # a data-dependent chain measures true device time.
+        st = istate
+        for _ in range(n):
+            st, fetchable = step(st)
+        return np.asarray(fetchable)
+
+    run_n(1)  # compile + warm up
+
+    def time_n(n, iters=5):
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            run_n(n)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    # Differential timing: the delta between 9 and 1 chained dispatches
+    # cancels the fixed per-call cost (on the axon tunnel, a ~30-40 ms host
+    # round trip that would otherwise be billed to the kernel). This measures
+    # sustained device throughput — the analog of the reference's hardware
+    # run timer, which also excludes PCIe round trips
+    # (`benchmark/benchmark.cpp:43-71`).
+    n_lo, n_hi = 1, 9
+    dt = (time_n(n_hi) - time_n(n_lo)) / (n_hi - n_lo)
 
     gcups = L * P / dt / 1e9
     print(json.dumps({

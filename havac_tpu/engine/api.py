@@ -31,7 +31,7 @@ import logging
 import os
 import threading
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -75,6 +75,9 @@ class RunStats:
     decode_seconds: float = 0.0
     num_raw_hits: int = 0
     overflow_retries: int = 0
+    # Pipelined backend only: per-phase wall-clock attribution
+    # (see PipelinedSweep.prof).
+    pipeline_prof: Optional[Dict[str, float]] = None
     num_unverified: int = 0  # populated when verify_hits=True
 
     @property
@@ -188,6 +191,7 @@ class Havac:
         self._chunks_done = 0
         self._chunks_total = 0
         self.stats = RunStats()
+        self._warm_sweep = None  # staged+compiled sweep from warmup()
 
     # ------------------------------------------------------------------ load
 
@@ -217,6 +221,7 @@ class Havac:
         self.models = models
         self.scores = project_models(models, self.p_value)
         self.phmm_prefix = model_length_prefix_sums(models)
+        self._warm_sweep = None
         if self.isolate_models:
             self.reset_rows = np.zeros(self.scores.shape[0], dtype=bool)
             self.reset_rows[self.phmm_prefix[:-1]] = True
@@ -244,7 +249,56 @@ class Havac:
                  self.database.num_sequences,
                  int(self.database.lengths.sum()),
                  self.database.padded_length)
+        self._warm_sweep = None
         return self
+
+    def warmup(self) -> "Havac":
+        """Stage the database in HBM and compile the sweep's kernels now.
+
+        Cold start on remote-compile rigs is dominated by two serial
+        30-180 s compiles (the SSV kernel and the record compaction);
+        warmup launches both CONCURRENTLY and caches the staged sweep, so
+        the next :meth:`run` starts sweeping immediately. Call after
+        :meth:`load_phmm` + :meth:`load_sequence` — e.g. from a thread,
+        overlapping other host work. No-op for the mesh / non-pipelined
+        backends (the reference has no warm path at all; its ~6 s fixed
+        overhead is xclbin programming, `benchmark/runtime_table.py:8`)."""
+        if self.scores is None or self.database is None:
+            raise HavacUsageError(
+                "load_phmm + load_sequence before warmup()")
+        if (self.mesh is not None
+                or self.backend not in ("pallas", "pallas_interpret")):
+            return self
+        sweep = self._build_pipelined_sweep()
+        t = threading.Thread(target=sweep.warm_compact, daemon=True)
+        t.start()
+        # Kernel compile: dispatch the first chunk's exact shapes with zero
+        # state and discard the result (~tens of ms of compute once warm).
+        symw, _lo, _Lc = sweep._pack_codes(0)
+        jnp = sweep.jnp
+        B, WS = symw.shape[0], symw.shape[1]
+        istate = jnp.zeros((B, WS, 128), jnp.int32)
+        icarry = jnp.zeros(sweep._rows1[0], jnp.int32)
+        out = sweep._dispatch(symw, sweep._scores_dev[0], istate, icarry,
+                              sweep._chunk_maxt(), sweep._reset_dev[0])
+        np.asarray(out[3])  # block until the kernel executable is live
+        t.join()
+        self._warm_sweep = sweep
+        return self
+
+    def _build_pipelined_sweep(self):
+        from havac_tpu.engine.pipeline import PipelinedSweep
+
+        cfg = self.config
+        if self.backend == "pallas_interpret" and not cfg.interpret:
+            cfg = dataclasses.replace(cfg, interpret=True)
+        codes = self.database.codes
+        W = cfg.block_width
+        if codes.shape[0] % W:
+            codes = np.pad(codes,
+                           (0, round_up(codes.shape[0], W) - codes.shape[0]))
+        return PipelinedSweep(codes, self.scores, cfg, self.chunk_symbols,
+                              self.chunk_rows, reset_rows=self.reset_rows)
 
     def scan_files(self, fasta_paths: Sequence[str], prefetch: int = 1):
         """Streaming scan over many FASTA files (BASELINE config 5).
@@ -566,19 +620,10 @@ class Havac:
 
     def _run_loop_pipelined(self) -> None:
         try:
-            from havac_tpu.engine.pipeline import PipelinedSweep
-
-            cfg = self.config
-            if self.backend == "pallas_interpret" and not cfg.interpret:
-                cfg = dataclasses.replace(cfg, interpret=True)
-            codes = self.database.codes
-            W = cfg.block_width
-            if codes.shape[0] % W:
-                codes = np.pad(codes,
-                               (0, round_up(codes.shape[0], W) - codes.shape[0]))
-            sweep = PipelinedSweep(codes, self.scores, cfg,
-                                   self.chunk_symbols, self.chunk_rows,
-                                   reset_rows=self.reset_rows)
+            sweep = self._warm_sweep  # staged + compiled by warmup()
+            self._warm_sweep = None
+            if sweep is None:
+                sweep = self._build_pipelined_sweep()
             self._chunks_total = sweep.n_col * sweep.n_row
 
             def progress(done):
@@ -587,7 +632,7 @@ class Havac:
             checkpoint_cb = None
             resume = None
             if self.checkpoint_path:
-                fingerprint = self._fingerprint(codes.shape[0],
+                fingerprint = self._fingerprint(sweep.L,
                                                 self.scores.shape[0],
                                                 sweep.chunk, sweep.rchunk)
                 loaded = self._load_checkpoint_pipelined(fingerprint,
@@ -611,13 +656,16 @@ class Havac:
             result = sweep.run(self._abort_event, progress,
                                checkpoint_cb=checkpoint_cb, resume=resume)
             self.stats.overflow_retries = sweep.overflow_retries
+            self.stats.pipeline_prof = dict(sweep.prof)
+            log.info("pipeline phases (s): %s",
+                     {k: round(v, 3) for k, v in sweep.prof.items()})
             if result is None:
                 with self._state_lock:
                     self._state = HavacRunState.ABORTED
                 return
             self._hit_rows, self._hit_positions, t_sweep = result
             self.stats.num_chunks = self._chunks_total
-            self.stats.cells = codes.shape[0] * self.scores.shape[0]
+            self.stats.cells = sweep.L * self.scores.shape[0]
             self.stats.sweep_seconds = t_sweep
             self.stats.num_raw_hits = int(self._hit_rows.shape[0])
             if self.checkpoint_path and os.path.exists(self.checkpoint_path):
@@ -662,10 +710,6 @@ class Havac:
                         "chains at group boundaries")
                 from havac_tpu.parallel.swar_dist2d import Swar2DSweep
 
-                if self._abort_event.is_set():
-                    with self._state_lock:
-                        self._state = HavacRunState.ABORTED
-                    return
                 sweep2d = Swar2DSweep(
                     self.database.codes, self.mesh, self.mesh_axis, "model",
                     block_width=self.config.block_width,
@@ -673,10 +717,21 @@ class Havac:
                     tile_budget_bytes=self.config.tile_budget_bytes,
                     interpret=(self.backend == "pallas_interpret"
                                or self.config.interpret))
-                self._chunks_total = 1
+
+                def dist2d_progress(step, total):
+                    self._chunks_total = total
+                    self._chunks_done = step
+
                 t0 = time.perf_counter()
-                rows, pos = sweep2d.run(scores, self.phmm_prefix,
-                                        self.reset_rows)
+                result = sweep2d.run(scores, self.phmm_prefix,
+                                     self.reset_rows,
+                                     abort_event=self._abort_event,
+                                     progress=dist2d_progress)
+                if result is None:
+                    with self._state_lock:
+                        self._state = HavacRunState.ABORTED
+                    return
+                rows, pos = result
                 self._finish_distributed(rows, pos, P,
                                          time.perf_counter() - t0)
                 return
@@ -702,16 +757,23 @@ class Havac:
                                 "back to the XLA wavefront", exc)
                     sweep = None
                 if sweep is not None:
-                    # One sharded dispatch: abort is honored at this boundary
-                    # only (the reference's abort is similarly best-effort,
-                    # host/Havac.cpp:100-102).
-                    if self._abort_event.is_set():
+                    # Per-wavefront-step dispatch with device-resident
+                    # carries: abort() takes effect between steps, not just
+                    # before the sweep (the reference aborts a running
+                    # kernel via XRT, host/HavacHwClient.cpp:159-165).
+                    def dist_progress(step, total):
+                        self._chunks_total = total
+                        self._chunks_done = step
+
+                    t0 = time.perf_counter()
+                    result = sweep.run(scores, self.reset_rows,
+                                       abort_event=self._abort_event,
+                                       progress=dist_progress)
+                    if result is None:
                         with self._state_lock:
                             self._state = HavacRunState.ABORTED
                         return
-                    self._chunks_total = 1
-                    t0 = time.perf_counter()
-                    rows, pos = sweep.run(scores, self.reset_rows)
+                    rows, pos = result
                     self._finish_distributed(rows, pos, P,
                                              time.perf_counter() - t0)
                     return

@@ -45,57 +45,62 @@ def _get_compact_jit():
     if _COMPACT_JIT is None:
         import jax
 
-        _COMPACT_JIT = jax.jit(_compact_tiles_impl,
-                               static_argnames=("cap", "group_cap"))
+        _COMPACT_JIT = jax.jit(_compact_tiles_impl, static_argnames=("cap",))
     return _COMPACT_JIT
 
 
 _COMPACT_JIT = None
 
 
-def _compact_tiles_impl(otiles, ometa, count, cap: int, group_cap: int):
+def _compact_tiles_impl(otiles, ometa, count, cap: int):
     """On-device tile→record compaction: nonzero bitmap words of the first
     ``count`` tiles as (flat index, word) pairs. Only ``cap`` records cross
     to the host instead of whole 0.5 MB tiles — essential when realistic
     p-values make most tiles dirty.
 
-    Two-level: a full nonzero over the buffer is pathologically slow on TPU
-    (~20× the bandwidth bound), so first reduce 8-sublane groups (1024 words,
-    a layout-preserving reduction — splitting the lane axis instead would
-    force a Mosaic relayout ~20× slower than bandwidth) to dirty flags,
-    nonzero the small flag vector, gather only the dirty groups, and nonzero
-    that small block. Stale slots beyond ``count`` are excluded via the flag
-    mask — no full-buffer masked copy. Callers retry with bigger caps when
-    nrec > cap or ngroups > group_cap."""
+    Row-granule flat design (round 2): at realistic density (~5 hits per
+    129k-word tile) the previous two-level group scheme degenerated — every
+    record occupied its own 1024-word group, so the group gather + flat
+    cumsum cost ~24 ms/chunk, doubling the device time of the sweep it
+    serves. Instead:
+      1. nonzero counts per 128-lane sublane row — the one full streaming
+         read of the buffer (a lane-axis reduction, layout-preserving);
+      2. a prefix over the (maxt·WS,) counts (small);
+      3. each output record binary-searches its row in the prefix, gathers
+         ONLY that row (cap × 512 B total), and locates its lane with a
+         per-row prefix.
+    Cost is O(one buffer read) + O(cap · 128) independent of how hits
+    cluster, and the old group_cap adaptivity is gone because nothing
+    scales with dirty-group count. Stale slots beyond ``count`` are
+    excluded via the count mask. Callers retry with a bigger cap when
+    nrec > cap.
+
+    Packed layout (one D2H round trip): [nrec, ometa(maxt), idx(cap),
+    words(cap)]."""
     import jax.numpy as jnp
 
-    GS = 8  # sublanes per group; group = GS × 128 lanes = 1024 words
-    G = GS * 128
     maxt, WS, _ = otiles.shape
-    groups_per_tile = WS // GS
-    ng = maxt * groups_per_tile
-    gview = otiles.reshape(ng, GS, 128)
-    flags = jnp.any(gview != 0, axis=(1, 2))
-    slot_of_group = jnp.arange(ng) // groups_per_tile
-    flags = jnp.logical_and(flags, slot_of_group < count)
-    ngroups = jnp.sum(flags.astype(jnp.int32))
-
-    cap_g = min(group_cap, ng)
-    gids_raw = _nonzero_capped(flags.astype(jnp.int32), cap_g)
-    gids = jnp.where(gids_raw >= 0, gids_raw, ng)
-    gview_pad = jnp.concatenate(
-        [gview, jnp.zeros((1, GS, 128), gview.dtype)])
-    data = gview_pad[gids].reshape(-1)  # (cap_g * G,)
-    # Exact iff ngroups ≤ cap_g (otherwise the caller retries bigger).
-    nrec = jnp.sum((data != 0).astype(jnp.int32))
-    ridx = _nonzero_capped(data, cap)
-    words = jnp.where(ridx >= 0, data[jnp.clip(ridx, 0, None)], 0)
-    gsel = gids[jnp.clip(ridx, 0, None) // G]
-    idx = jnp.where(ridx >= 0, gsel * G + ridx % G, -1)
-    # One packed vector so the host needs a single D2H round trip:
-    # [nrec, ngroups, ometa(maxt), idx(cap), words(cap)].
+    R = maxt * WS
+    rows = otiles.reshape(R, 128)
+    cnt = jnp.sum((rows != 0).astype(jnp.int32), axis=1)  # (R,)
+    row_slot = jnp.arange(R) // WS
+    cnt = jnp.where(row_slot < count, cnt, 0)
+    coffs = jnp.cumsum(cnt)
+    nrec = coffs[R - 1]
+    r = jnp.arange(cap, dtype=jnp.int32)
+    row_r = jnp.searchsorted(coffs, r + 1, side="left").astype(jnp.int32)
+    row_rc = jnp.clip(row_r, 0, R - 1)
+    sel = rows[row_rc]  # (cap, 128) — the only gather
+    rowcum = jnp.cumsum((sel != 0).astype(jnp.int32), axis=1)
+    prev = jnp.where(row_rc > 0, coffs[jnp.clip(row_rc - 1, 0, None)], 0)
+    rank = r + 1 - prev  # 1-based rank of this record within its row
+    lane = jnp.sum((rowcum < rank[:, None]).astype(jnp.int32), axis=1)
+    lanec = jnp.clip(lane, 0, 127)
+    words = jnp.take_along_axis(sel, lanec[:, None], axis=1)[:, 0]
+    ok = r < nrec
+    idx = jnp.where(ok, row_rc * 128 + lanec, -1)
+    words = jnp.where(ok, words, 0)
     return jnp.concatenate([nrec[None].astype(jnp.int32),
-                            ngroups[None].astype(jnp.int32),
                             ometa.astype(jnp.int32), idx.astype(jnp.int32),
                             words.astype(jnp.int32)])
 
@@ -128,7 +133,18 @@ class PipelinedSweep:
         self.K = config.rows_per_strip
         self.overflow_retries = 0
         self.record_cap = 1 << 14  # hit records pulled per chunk (adaptive)
-        self.group_cap = 1 << 14  # dirty 1024-word groups per chunk (adaptive)
+        # Per-phase wall-clock attribution (seconds), filled by run():
+        #   dispatch    — enqueueing kernel+compaction (async, host side)
+        #   gate_wait   — main thread in the lookahead gate (≈ pull + any
+        #                 wait for the device to finish the oldest chunk —
+        #                 the pipeline bubble)
+        #   pull        — fetching packed records (main thread; ~0.3 ms
+        #                 when the async D2H prefetch has landed)
+        #   decode      — collectors decoding records to (row, pos)
+        #   drain       — final drain (tail pulls + decodes)
+        self.prof: Dict[str, float] = {
+            "dispatch": 0.0, "gate_wait": 0.0, "drain": 0.0,
+            "pull": 0.0, "decode": 0.0}
         self.tile_budget_bytes = config.tile_budget_bytes
 
         if config.packing == 3:
@@ -210,6 +226,34 @@ class PipelinedSweep:
                 self._reset_dev.append(None)
             self._rows1.append(self.rchunk + 1)
 
+    # ---------------------------------------------------------- warmup
+
+    def _chunk_maxt(self) -> int:
+        ntiles = (self._blocks_per_chunk * self._scores_dev[0].shape[0]
+                  * self._nflush)
+        return min(ntiles, self._maxt_cap)
+
+    def warm_compact(self) -> None:
+        """Trigger the compaction compile on dummy inputs.
+
+        Run from a side thread at sweep start so the two 30-180 s remote
+        compiles (kernel + compaction) on the axon rig proceed concurrently
+        instead of serially on the first chunk. Warm, this costs one
+        ~millisecond no-op dispatch. AOT .lower().compile() cannot be used
+        here — local AOT fails on the rig's libtpu version mismatch — so a
+        real dummy call is the only way to force the compile."""
+        jnp = self.jnp
+        try:
+            maxt = self._chunk_maxt()
+            WS_t = self._tile_words // 128
+            otiles = jnp.zeros((maxt, WS_t, 128), jnp.int32)
+            ometa = jnp.zeros((maxt,), jnp.int32)
+            packed = self._compact(otiles, ometa, jnp.zeros((), jnp.int32),
+                                   cap=self.record_cap)
+            np.asarray(packed[:1])
+        except Exception:  # pragma: no cover - warmup must never fail a run
+            pass
+
     # ---------------------------------------------------------- chunk prep
 
     def _pack_codes(self, ci: int):
@@ -246,30 +290,23 @@ class PipelinedSweep:
             block_width=self.W, rows_per_strip=self.K,
             max_hit_tiles=maxt, interpret=self.cfg.interpret)
 
-    def _collect(self, pend) -> Tuple[np.ndarray, np.ndarray]:
-        (out, ri, lo, Lc) = pend
-        ostate, ocarry, ometa, ocount, otiles = out
+    def _decode_packed(self, packed: np.ndarray, n: int, cap: int, ri: int,
+                       lo: int, Lc: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Pure-numpy record decode (collector-pool work item).
+
+        Workers never touch jax: concurrent device calls from side threads
+        contend with the main dispatch loop on the client, which measured
+        ~100 ms per pull even for prefetched bytes — host-side decode of an
+        already-pulled vector has no such contention."""
+        t_decode = time.perf_counter()
         r0 = ri * self.rchunk
         Pc = min(self.P, r0 + self.rchunk) - r0
-        # On-device compaction + a single packed D2H pull per chunk.
-        while True:
-            cap, gcap = self.record_cap, self.group_cap
-            packed = np.asarray(self._compact(otiles, ometa, ocount[0],
-                                              cap=cap, group_cap=gcap))
-            n, ngroups = int(packed[0]), int(packed[1])
-            if n <= cap and ngroups <= gcap:
-                break
-            if n > cap:
-                self.record_cap = max(cap * 2, round_up(n, 1024))
-            if ngroups > gcap:
-                self.group_cap = max(gcap * 2, round_up(ngroups, 1024))
-            self.overflow_retries += 1
         if n == 0:
             return (np.empty(0, dtype=np.int64),) * 2
-        mt = otiles.shape[0]
-        ometa_np = packed[2:2 + mt]
-        idx = packed[2 + mt:2 + mt + n].astype(np.int64)
-        words = packed[2 + mt + cap:2 + mt + cap + n]
+        mt = packed.shape[0] - 1 - 2 * cap
+        ometa_np = packed[1:1 + mt]
+        idx = packed[1 + mt:1 + mt + n].astype(np.int64)
+        words = packed[1 + mt + cap:1 + mt + cap + n]
         slots = idx // self._tile_words
         word_idx = idx % self._tile_words
         ids = ometa_np[slots]
@@ -283,6 +320,7 @@ class PipelinedSweep:
             rows, pos = decode_flat_records(ids, word_idx, words, S, self.W,
                                             self.K)
         keep = (rows < Pc) & (pos < Lc)
+        self.prof["decode"] += time.perf_counter() - t_decode
         return rows[keep] + r0, pos[keep] + lo
 
     # ----------------------------------------------------------------- run
@@ -293,11 +331,13 @@ class PipelinedSweep:
         """Full pipelined sweep; returns (rows, positions, sweep_seconds) or
         None if aborted.
 
-        Up to ``lookahead`` chunks are in flight; a small collector pool
-        pulls finished chunks' packed hit records concurrently, so the
-        per-chunk host round trip overlaps both device compute and other
-        chunks' round trips (high-latency host links would otherwise
-        serialize on it).
+        Up to ``lookahead`` chunks are in flight. Per chunk the main loop
+        dispatches the kernel + record compaction and schedules the packed
+        vector's D2H (copy_to_host_async); the gate then pulls the OLDEST
+        chunk's bytes on the main thread — ~0.3 ms once prefetched, and the
+        natural device backpressure otherwise — and hands the pure-numpy
+        decode to the collector pool. Workers never touch jax (see
+        _decode_packed).
 
         ``checkpoint_cb(next_ci, carries (n_row, rchunk+1) int32, rows, pos)``
         is called after every completed column chunk (the pipeline drains at
@@ -310,7 +350,7 @@ class PipelinedSweep:
         jnp = self.jnp
         t_start = time.perf_counter()
         futures: List = []
-        inflight: List = []
+        pend: List = []  # (out, packed_dev, cap, ri, lo, Lc) awaiting pull
         done = 0
         start_ci = 0
         prev_col_carry: Dict[int, object] = {}
@@ -322,7 +362,34 @@ class PipelinedSweep:
             results.append((rows0, pos0))
             done = start_ci * self.n_row
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        import threading
+
+        # Overlap the compaction compile with the kernel compile (cold) —
+        # see warm_compact. Daemon: an aborted run must not wait on it.
+        threading.Thread(target=self.warm_compact, daemon=True).start()
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+
+            def drain_one():
+                out, packed_dev, cap, ri, lo, Lc = pend.pop(0)
+                t0 = time.perf_counter()
+                packed = np.asarray(packed_dev)
+                n = int(packed[0])
+                while n > cap:
+                    # Rare: the chunk overflowed the record cap — grow it and
+                    # re-run only the cheap compaction from the still-live
+                    # tiles (held by ``out``).
+                    self.record_cap = max(self.record_cap,
+                                          max(cap * 2, round_up(n, 1024)))
+                    cap = self.record_cap
+                    pk2 = self._compact(out[4], out[2], out[3][0], cap=cap)
+                    packed = np.asarray(pk2)
+                    n = int(packed[0])
+                    self.overflow_retries += 1
+                self.prof["pull"] += time.perf_counter() - t0
+                futures.append(pool.submit(self._decode_packed, packed, n,
+                                           cap, ri, lo, Lc))
+
             for ci in range(start_ci, self.n_col):
                 symw, lo, Lc = self._pack_codes(ci)
                 B, WS = symw.shape[0], symw.shape[1]
@@ -338,16 +405,28 @@ class PipelinedSweep:
                         icarry = jnp.zeros(self._rows1[ri], jnp.int32)
                     # Geometry clamping guarantees ntiles <= _maxt_cap: the
                     # buffer covers the worst case and tile overflow cannot
-                    # occur (record caps adapt inside _collect).
+                    # occur (the record cap adapts in drain_one).
                     ntiles = B * self._scores_dev[ri].shape[0] * self._nflush
                     maxt = min(ntiles, self._maxt_cap)
+                    t0 = time.perf_counter()
                     out = self._dispatch(symw, self._scores_dev[ri], istate,
                                          icarry, maxt, self._reset_dev[ri])
-                    while len(inflight) >= lookahead:
-                        inflight.pop(0).result()  # bound buffers in flight
-                    fut = pool.submit(self._collect, (out, ri, lo, Lc))
-                    futures.append(fut)
-                    inflight.append(fut)
+                    # Compact immediately (device work queues behind the
+                    # kernel) and start the packed vector's D2H while the
+                    # device sweeps the next chunk.
+                    cap = self.record_cap
+                    packed = self._compact(out[4], out[2], out[3][0],
+                                           cap=cap)
+                    try:
+                        packed.copy_to_host_async()
+                    except AttributeError:  # pragma: no cover - older jax
+                        pass
+                    t1 = time.perf_counter()
+                    self.prof["dispatch"] += t1 - t0
+                    pend.append((out, packed, cap, ri, lo, Lc))
+                    while len(pend) >= lookahead:
+                        drain_one()  # bound buffers in flight
+                    self.prof["gate_wait"] += time.perf_counter() - t1
                     istate = out[0]  # chain row state on device
                     col_carry[ri] = out[1]  # chain carry on device
                     done += 1
@@ -355,14 +434,19 @@ class PipelinedSweep:
                         progress(done)
                 prev_col_carry = col_carry
                 if checkpoint_cb is not None and ci + 1 < self.n_col:
+                    while pend:
+                        drain_one()
                     results += [f.result() for f in futures]
                     futures.clear()
-                    inflight.clear()
                     carries = np.stack([np.asarray(prev_col_carry[ri])
                                         for ri in range(self.n_row)])
                     rows_s, pos_s = _concat_results(results)
                     checkpoint_cb(ci + 1, carries, rows_s, pos_s)
+            t_drain = time.perf_counter()
+            while pend:
+                drain_one()
             results += [f.result() for f in futures]
+            self.prof["drain"] += time.perf_counter() - t_drain
 
         rows, pos = _concat_results(results)
         order = np.lexsort((pos, rows))

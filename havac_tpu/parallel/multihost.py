@@ -156,10 +156,10 @@ _RECORD_MAX_FNS = {}
 
 
 def global_record_max(packeds, mesh):
-    """Global max of the packed-record (nrec, ngroups) header over EVERY
-    shard, replicated to every process — multi-host capacity-retry decisions
+    """Global max of the packed-record nrec header over EVERY shard,
+    replicated to every process — multi-host capacity-retry decisions
     must be identical on all hosts (a host that only saw its own shards
-    overflow would recompile with bigger caps while the others don't, and
+    overflow would recompile with a bigger cap while the others don't, and
     the next collective would deadlock). Returns None single-process, where
     the local decode already sees every shard."""
     import jax
@@ -173,8 +173,31 @@ def global_record_max(packeds, mesh):
         rep = NamedSharding(mesh, PartitionSpec())
         axes = tuple(range(packeds.ndim - 1))
         _RECORD_MAX_FNS[key] = jax.jit(
-            lambda p: jnp.max(p[..., :2], axis=axes), out_shardings=rep)
+            lambda p: jnp.max(p[..., :1], axis=axes), out_shardings=rep)
     return np.asarray(_RECORD_MAX_FNS[key](packeds))
+
+
+def global_record_max_many(packeds_list, mesh):
+    """Step-mode variant of :func:`global_record_max`: fold the per-step
+    packed blocks into one replicated device scalar (no per-step host
+    round trips) and pull once. Returns None single-process."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if jax.process_count() == 1:
+        return None
+    key = ("many", mesh, packeds_list[0].ndim if packeds_list else 0)
+    if key not in _RECORD_MAX_FNS:
+        rep = NamedSharding(mesh, PartitionSpec())
+        _RECORD_MAX_FNS[key] = jax.jit(
+            lambda p, m: jnp.maximum(m, jnp.max(p[..., :1])),
+            out_shardings=rep)
+    m = jax.jit(lambda: jnp.zeros((), jnp.int32),
+                out_shardings=NamedSharding(mesh, PartitionSpec()))()
+    for p in packeds_list:
+        m = _RECORD_MAX_FNS[key](p, m)
+    return np.asarray(m)
 
 
 def stage_replicated(value: np.ndarray, mesh):

@@ -38,11 +38,9 @@ from havac_tpu.engine.pipeline import _compact_tiles_impl
 
 
 class _RecordCapacityExceeded(RuntimeError):
-    def __init__(self, nrec: int, ngroups: int):
-        super().__init__(f"record capacity exceeded (n={nrec}, "
-                         f"groups={ngroups})")
+    def __init__(self, nrec: int):
+        super().__init__(f"record capacity exceeded (n={nrec})")
         self.nrec = nrec
-        self.ngroups = ngroups
 
 
 def _get_shard_map():
@@ -56,13 +54,13 @@ def _get_shard_map():
 
 def make_swar_dist_fn(mesh: Mesh, axis: str, block_words: int,
                       rows_per_step: int, num_chunks: int, max_hit_tiles: int,
-                      record_cap: int, group_cap: int, interpret: bool,
+                      record_cap: int, interpret: bool,
                       col_chunks: int = 1, isolate: bool = False):
     """Jitted sharded SWAR sweep.
 
     fn(symw (D·Bs, WS, 128) int32 packed+sharded, scores (S, R/30, 30, 4)
     int32 biased+replicated, istate (D·Bs, WS, 128) sharded)
-      → (ostate sharded, packed records (D, T, CC, 2 + maxt + 2·cap) sharded
+      → (ostate sharded, packed records (D, T, CC, 1 + maxt + 2·cap) sharded
          on axis 0) where T = S + D − 1 and CC = ``col_chunks``.
 
     ``col_chunks`` > 1 sweeps each shard in column sub-ranges per wavefront
@@ -105,8 +103,7 @@ def make_swar_dist_fn(mesh: Mesh, axis: str, block_words: int,
                     isolate=isolate)
                 count = jnp.where(active, ocount[0], 0)
                 packed = _compact_tiles_impl(otiles, ometa, count,
-                                             cap=record_cap,
-                                             group_cap=group_cap)
+                                             cap=record_cap)
                 return ocarry, (ostate, packed)
 
             ocarry, (ostates, packeds) = jax.lax.scan(
@@ -131,6 +128,75 @@ def make_swar_dist_fn(mesh: Mesh, axis: str, block_words: int,
     return jax.jit(fn)
 
 
+def make_swar_dist_step_fn(mesh: Mesh, axis: str, block_words: int,
+                           rows_per_step: int, num_chunks: int,
+                           max_hit_tiles: int, record_cap: int,
+                           interpret: bool, col_chunks: int = 1,
+                           isolate: bool = False):
+    """ONE wavefront step as a jitted sharded call (abort granularity).
+
+    The monolithic scan (`make_swar_dist_fn`) is uncancelable once
+    dispatched; this variant keeps the scan-carry (row state + seam vector)
+    as sharded device arrays between calls, so the host can stop between
+    steps — the analog of the reference's XRT abort
+    (`host/HavacHwClient.cpp:159-165`) at the natural chunk boundary.
+    One executable serves every step: the step index ``t`` is a replicated
+    device scalar, not a static.
+
+    fn(symw, scores, resets, istate sharded, seam (D, R+1) sharded,
+    t (1,) replicated) → (istate', seam', packeds (D, CC, X))."""
+    shard_map = _get_shard_map()
+    R = rows_per_step
+    S = num_chunks
+    D = mesh.shape[axis]
+    W3 = block_words
+    CC = col_chunks
+    perm = [(k, k + 1) for k in range(D - 1)]
+
+    def device_fn(symw, scores_strips, reset_steps, istate, seam_in, t):
+        k = jax.lax.axis_index(axis)
+        Bs = symw.shape[0]
+        assert Bs % CC == 0, (
+            f"shard blocks ({Bs}) must be a multiple of col_chunks ({CC})")
+        Bc = Bs // CC
+        s = t[0] - k
+        active = jnp.logical_and(s >= 0, s < S)
+        sc = jax.lax.dynamic_index_in_dim(
+            scores_strips, jnp.clip(s, 0, S - 1), 0, keepdims=False)
+        rr = jax.lax.dynamic_index_in_dim(
+            reset_steps, jnp.clip(s, 0, S - 1), 0, keepdims=False)
+
+        def col_chunk(carry_c, c):
+            symw_c = jax.lax.dynamic_slice_in_dim(symw, c * Bc, Bc)
+            istate_c = jax.lax.dynamic_slice_in_dim(istate, c * Bc, Bc)
+            ostate, ocarry, ometa, ocount, otiles = _ssv_swar_jit(
+                symw_c, sc, istate_c, carry_c,
+                rr if isolate else None, block_words=W3,
+                max_hit_tiles=max_hit_tiles, interpret=interpret,
+                isolate=isolate)
+            count = jnp.where(active, ocount[0], 0)
+            packed = _compact_tiles_impl(otiles, ometa, count,
+                                         cap=record_cap)
+            return ocarry, (ostate, packed)
+
+        ocarry, (ostates, packeds) = jax.lax.scan(
+            col_chunk, seam_in[0], jnp.arange(CC))
+        new_istate = ostates.reshape(Bs, *symw.shape[1:])
+        istate = jnp.where(active, new_istate, istate)
+        seam_out = jnp.where(active, ocarry, jnp.zeros_like(ocarry))
+        seam_next = jax.lax.ppermute(seam_out, axis, perm)
+        return istate, seam_next[None], packeds[None]  # (1, CC, X)
+
+    specs = dict(mesh=mesh,
+                 in_specs=(P(axis), P(), P(), P(axis), P(axis), P()),
+                 out_specs=(P(axis), P(axis), P(axis, None, None)))
+    try:
+        fn = shard_map(device_fn, check_vma=False, **specs)
+    except TypeError:  # pragma: no cover - older jax
+        fn = shard_map(device_fn, check_rep=False, **specs)
+    return jax.jit(fn)
+
+
 class SwarDistributedSweep:
     """Stateful multi-chip SWAR sweep (engine mesh fast path).
 
@@ -141,7 +207,7 @@ class SwarDistributedSweep:
     def __init__(self, codes: np.ndarray, mesh: Mesh, axis: str = "seq",
                  block_width: int = 387072, rows_per_step: int = 2040,
                  tile_budget_bytes: int = 6 << 30,
-                 record_cap: int = 1 << 14, group_cap: int = 1 << 13,
+                 record_cap: int = 1 << 14,
                  interpret: bool = False):
         if block_width % 3072:
             raise ValueError("block_width must be a multiple of 3072")
@@ -154,7 +220,6 @@ class SwarDistributedSweep:
         self.R = rows_per_step
         self.D = mesh.shape[axis]
         self.record_cap = record_cap
-        self.group_cap = group_cap
         self.interpret = interpret
 
         # Equal shards of whole blocks per device; when a shard's worst-case
@@ -199,26 +264,35 @@ class SwarDistributedSweep:
         self._fns = {}
 
     def run(self, scores: np.ndarray,
-            reset_rows: Optional[np.ndarray] = None
-            ) -> Tuple[np.ndarray, np.ndarray]:
+            reset_rows: Optional[np.ndarray] = None,
+            abort_event=None, progress=None, monolithic: bool = False
+            ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         """Sweep the full (P, 4) int8 score stream; exact global hits.
 
         ``reset_rows`` (optional bool (P,)) enables model isolation.
-        Record/group caps adapt: a hit-dense run that overflows them is
-        re-swept with doubled caps (one extra compile) — same retry contract
-        as the single-chip paths."""
+        The record cap adapts: a hit-dense run that overflows it is
+        re-swept with a doubled cap (one extra compile) — same retry
+        contract as the single-chip paths.
+
+        By default the sweep is dispatched PER WAVEFRONT STEP with the
+        scan carries (row state + seam vectors) resident on device, so
+        ``abort_event`` (a threading.Event) is honored between steps —
+        returns None when aborted, like the pipelined path. Pass
+        ``monolithic=True`` for the single lax.scan dispatch (no mid-sweep
+        abort; saves T-1 dispatches, which measure ~1 ms each).
+        ``progress(step, total)`` is called per completed step."""
         while True:
             try:
-                return self._run_once(scores, reset_rows)
+                return self._run_once(scores, reset_rows, abort_event,
+                                      progress, monolithic)
             except _RecordCapacityExceeded as exc:
                 while self.record_cap < exc.nrec:
                     self.record_cap *= 2
-                while self.group_cap < exc.ngroups:
-                    self.group_cap *= 2
-                self._fns.clear()  # caps are baked into the compiled fn
+                self._fns.clear()  # the cap is baked into the compiled fn
 
-    def _run_once(self, scores: np.ndarray, reset_rows=None
-                  ) -> Tuple[np.ndarray, np.ndarray]:
+    def _run_once(self, scores: np.ndarray, reset_rows=None,
+                  abort_event=None, progress=None, monolithic=False
+                  ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         P_ = scores.shape[0]
         P2 = round_up(max(P_, 1), self.R)
         S = P2 // self.R
@@ -226,7 +300,9 @@ class SwarDistributedSweep:
         sc[:P_] = scores.astype(np.int32)
         sc_strips = (sc + 256).reshape(
             S, self.R // ROWS_PER_STRIP, ROWS_PER_STRIP, 4)
-        from havac_tpu.parallel.multihost import stage_replicated
+        from havac_tpu.parallel.multihost import (
+            device_zeros, global_record_max, global_record_max_many,
+            stage_replicated)
 
         sc_dev = stage_replicated(sc_strips, self.mesh)
         isolate = reset_rows is not None
@@ -235,62 +311,67 @@ class SwarDistributedSweep:
             rr[:P_] = np.asarray(reset_rows, dtype=np.int32)
         rr_dev = stage_replicated(rr.reshape(S, self.R), self.mesh)
 
-        key = (S, isolate)
+        key = (S, isolate, monolithic)
         if key not in self._fns:
-            self._fns[key] = make_swar_dist_fn(
+            make = make_swar_dist_fn if monolithic else make_swar_dist_step_fn
+            self._fns[key] = make(
                 self.mesh, self.axis, self.W3, self.R, S, self.maxt,
-                self.record_cap, self.group_cap, self.interpret,
+                self.record_cap, self.interpret,
                 col_chunks=self.col_chunks, isolate=isolate)
-        from havac_tpu.parallel.multihost import device_zeros
 
         G = self.shard_blocks * self.D
         istate = device_zeros((G, self.W3 // 128, 128), jnp.int32,
                               self._shard)
-        _, packeds = self._fns[key](self.symw_dev, sc_dev, rr_dev, istate)
+        T = S + self.D - 1
+        if monolithic:
+            _, packeds = self._fns[key](self.symw_dev, sc_dev, rr_dev,
+                                        istate)
+            gmax = global_record_max(packeds, self.mesh)
+            step_packeds = None
+        else:
+            seam = device_zeros((self.D, self.R + 1), jnp.int32, self._shard)
+            tarr = stage_replicated(
+                np.arange(T, dtype=np.int32).reshape(T, 1), self.mesh)
+            step_packeds = []
+            for t in range(T):
+                if abort_event is not None and abort_event.is_set():
+                    return None
+                istate, seam, pk = self._fns[key](
+                    self.symw_dev, sc_dev, rr_dev, istate, seam, tarr[t])
+                try:
+                    pk.copy_to_host_async()
+                except AttributeError:  # pragma: no cover - older jax
+                    pass
+                step_packeds.append(pk)
+                if progress is not None:
+                    progress(t + 1, T)
+            gmax = global_record_max_many(step_packeds, self.mesh)
+        if gmax is not None and int(gmax.max()) > self.record_cap:
+            raise _RecordCapacityExceeded(int(gmax.max()))
 
-        from havac_tpu.parallel.multihost import global_record_max
-
-        gmax = global_record_max(packeds, self.mesh)
-        if gmax is not None and (gmax[0] > self.record_cap
-                                 or gmax[1] > self.group_cap):
-            raise _RecordCapacityExceeded(int(gmax[0]), int(gmax[1]))
-
-        cap = self.record_cap
-        maxt = self.maxt
-        S_strips = self.R // ROWS_PER_STRIP
-        chunk_width = self.chunk_blocks * self.W
         all_rows, all_pos = [], []
         # Decode only this process's addressable shards of the packed record
         # output (hits for the shards this host owns); coordinates are
         # global, so multi-host runs concatenate per-host results for the
         # exact global list. Single-process, this covers every shard.
-        for sh in packeds.addressable_shards:
-            d0 = sh.index[0].start or 0
-            arr = np.asarray(sh.data)  # (Dl, T, CC, 2 + maxt + 2*cap)
-            for dd in range(arr.shape[0]):
-                d = d0 + dd
-                for t in range(arr.shape[1]):
-                    s = t - d
-                    if not (0 <= s < S):
-                        continue
-                    for c in range(self.col_chunks):
-                        vec = arr[dd, t, c]
-                        n, ngroups = int(vec[0]), int(vec[1])
-                        if n > cap or ngroups > self.group_cap:
-                            raise _RecordCapacityExceeded(n, ngroups)
-                        if n == 0:
-                            continue
-                        ometa = vec[2:2 + maxt]
-                        idx = vec[2 + maxt:2 + maxt + n].astype(np.int64)
-                        words = vec[2 + maxt + cap:2 + maxt + cap + n]
-                        slots = idx // self.W3
-                        word_idx = idx % self.W3
-                        ids = ometa[slots]
-                        rows, pos = decode_swar_flat(ids, word_idx, words,
-                                                     S_strips, self.W3)
-                        all_rows.append(rows + s * self.R)
-                        all_pos.append(pos + d * self.shard_width
-                                       + c * chunk_width)
+        if monolithic:
+            for sh in packeds.addressable_shards:
+                d0 = sh.index[0].start or 0
+                arr = np.asarray(sh.data)  # (Dl, T, CC, 1 + maxt + 2*cap)
+                for dd in range(arr.shape[0]):
+                    d = d0 + dd
+                    for t in range(arr.shape[1]):
+                        self._decode_step(arr[dd, t], d, t - d, S,
+                                          all_rows, all_pos)
+        else:
+            for t, pk in enumerate(step_packeds):
+                for sh in pk.addressable_shards:
+                    d0 = sh.index[0].start or 0
+                    arr = np.asarray(sh.data)  # (Dl, CC, 1 + maxt + 2*cap)
+                    for dd in range(arr.shape[0]):
+                        d = d0 + dd
+                        self._decode_step(arr[dd], d, t - d, S,
+                                          all_rows, all_pos)
         if not all_rows:
             return (np.empty(0, dtype=np.int64),) * 2
         rows = np.concatenate(all_rows)
@@ -299,3 +380,31 @@ class SwarDistributedSweep:
         rows, pos = rows[keep], pos[keep]
         order = np.lexsort((pos, rows))
         return rows[order], pos[order]
+
+    def _decode_step(self, vecs, d: int, s: int, S: int,
+                     all_rows: list, all_pos: list) -> None:
+        """Decode one device's one wavefront step: ``vecs`` is the (CC, X)
+        packed record block for shard ``d`` sweeping row chunk ``s``."""
+        if not (0 <= s < S):
+            return
+        cap = self.record_cap
+        maxt = self.maxt
+        S_strips = self.R // ROWS_PER_STRIP
+        chunk_width = self.chunk_blocks * self.W
+        for c in range(self.col_chunks):
+            vec = vecs[c]
+            n = int(vec[0])
+            if n > cap:
+                raise _RecordCapacityExceeded(n)
+            if n == 0:
+                continue
+            ometa = vec[1:1 + maxt]
+            idx = vec[1 + maxt:1 + maxt + n].astype(np.int64)
+            words = vec[1 + maxt + cap:1 + maxt + cap + n]
+            slots = idx // self.W3
+            word_idx = idx % self.W3
+            ids = ometa[slots]
+            rows, pos = decode_swar_flat(ids, word_idx, words,
+                                         S_strips, self.W3)
+            all_rows.append(rows + s * self.R)
+            all_pos.append(pos + d * self.shard_width + c * chunk_width)

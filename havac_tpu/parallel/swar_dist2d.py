@@ -56,7 +56,7 @@ def partition_models(prefix_sums: np.ndarray, num_groups: int) -> List[int]:
 def make_swar_dist2d_fn(mesh: Mesh, seq_axis: str, model_axis: str,
                         block_words: int, rows_per_step: int,
                         num_chunks: int, max_hit_tiles: int,
-                        record_cap: int, group_cap: int, interpret: bool,
+                        record_cap: int, interpret: bool,
                         col_chunks: int = 1):
     """fn(symw (D_seq·Bs, WS, 128) P(seq), scores (D_m, S, strips, 30, 4)
     P(model), resets (D_m, S, strips·30) P(model), istate (D_seq·Bs, WS, 128)
@@ -97,8 +97,7 @@ def make_swar_dist2d_fn(mesh: Mesh, seq_axis: str, model_axis: str,
                     isolate=True)
                 count = jnp.where(active, ocount[0], 0)
                 packed = _compact_tiles_impl(otiles, ometa, count,
-                                             cap=record_cap,
-                                             group_cap=group_cap)
+                                             cap=record_cap)
                 return ocarry, (ostate, packed)
 
             ocarry, (ostates, packeds) = jax.lax.scan(
@@ -124,6 +123,78 @@ def make_swar_dist2d_fn(mesh: Mesh, seq_axis: str, model_axis: str,
     return jax.jit(fn)
 
 
+def make_swar_dist2d_step_fn(mesh: Mesh, seq_axis: str, model_axis: str,
+                             block_words: int, rows_per_step: int,
+                             num_chunks: int, max_hit_tiles: int,
+                             record_cap: int, interpret: bool,
+                             col_chunks: int = 1):
+    """ONE 2D wavefront step as a jitted sharded call (abort granularity;
+    the 2D analog of `make_swar_dist_step_fn`). Scan carries live as
+    sharded device arrays between calls: istate (D_m, D_seq·Bs, WS, 128)
+    P(model, seq) — each model group evolves its own row state — and seam
+    (D_m, D_seq, R+1) P(model, seq).
+
+    fn(symw, scores, resets, istate, seam, t (1,) replicated)
+      → (istate', seam', packeds (D_m, D_seq, CC, X))."""
+    shard_map = _get_shard_map()
+    R = rows_per_step
+    S = num_chunks
+    D = mesh.shape[seq_axis]
+    W3 = block_words
+    CC = col_chunks
+    perm = [(k, k + 1) for k in range(D - 1)]
+
+    def device_fn(symw, scores_strips, reset_strips, istate_g, seam_in, t):
+        k = jax.lax.axis_index(seq_axis)
+        scores_strips = scores_strips[0]  # (S, strips, 30, 4) local group
+        reset_strips = reset_strips[0]  # (S, strips*30)
+        istate = istate_g[0]
+        Bs = symw.shape[0]
+        assert Bs % CC == 0, (
+            f"shard blocks ({Bs}) must be a multiple of col_chunks ({CC})")
+        Bc = Bs // CC
+        s = t[0] - k
+        active = jnp.logical_and(s >= 0, s < S)
+        sc = jax.lax.dynamic_index_in_dim(
+            scores_strips, jnp.clip(s, 0, S - 1), 0, keepdims=False)
+        rr = jax.lax.dynamic_index_in_dim(
+            reset_strips, jnp.clip(s, 0, S - 1), 0, keepdims=False)
+
+        def col_chunk(carry_c, c):
+            symw_c = jax.lax.dynamic_slice_in_dim(symw, c * Bc, Bc)
+            istate_c = jax.lax.dynamic_slice_in_dim(istate, c * Bc, Bc)
+            ostate, ocarry, ometa, ocount, otiles = _ssv_swar_jit(
+                symw_c, sc, istate_c, carry_c, rr, block_words=W3,
+                max_hit_tiles=max_hit_tiles, interpret=interpret,
+                isolate=True)
+            count = jnp.where(active, ocount[0], 0)
+            packed = _compact_tiles_impl(otiles, ometa, count,
+                                         cap=record_cap)
+            return ocarry, (ostate, packed)
+
+        ocarry, (ostates, packeds) = jax.lax.scan(
+            col_chunk, seam_in[0, 0], jnp.arange(CC))
+        new_istate = ostates.reshape(Bs, *symw.shape[1:])
+        istate = jnp.where(active, new_istate, istate)
+        seam_out = jnp.where(active, ocarry, jnp.zeros_like(ocarry))
+        seam_next = jax.lax.ppermute(seam_out, seq_axis, perm)
+        return (istate[None], seam_next[None, None],
+                packeds[None, None])  # (1, 1, CC, X)
+
+    specs = dict(mesh=mesh,
+                 in_specs=(P(seq_axis), P(model_axis), P(model_axis),
+                           P(model_axis, seq_axis),
+                           P(model_axis, seq_axis), P()),
+                 out_specs=(P(model_axis, seq_axis),
+                            P(model_axis, seq_axis),
+                            P(model_axis, seq_axis, None, None)))
+    try:
+        fn = shard_map(device_fn, check_vma=False, **specs)
+    except TypeError:  # pragma: no cover - older jax
+        fn = shard_map(device_fn, check_rep=False, **specs)
+    return jax.jit(fn)
+
+
 class Swar2DSweep:
     """Stateful 2D-sharded SWAR sweep (engine mesh fast path, config 4)."""
 
@@ -131,7 +202,7 @@ class Swar2DSweep:
                  model_axis: str = "model", block_width: int = 387072,
                  rows_per_step: int = 2040,
                  tile_budget_bytes: int = 6 << 30,
-                 record_cap: int = 1 << 14, group_cap: int = 1 << 13,
+                 record_cap: int = 1 << 14,
                  interpret: bool = False):
         if block_width % 3072:
             raise ValueError("block_width must be a multiple of 3072")
@@ -146,7 +217,6 @@ class Swar2DSweep:
         self.D_seq = mesh.shape[seq_axis]
         self.D_model = mesh.shape[model_axis]
         self.record_cap = record_cap
-        self.group_cap = group_cap
         self.interpret = interpret
 
         L = codes.shape[0]
@@ -180,22 +250,28 @@ class Swar2DSweep:
         self._fns = {}
 
     def run(self, scores: np.ndarray, prefix_sums: np.ndarray,
-            reset_rows: Optional[np.ndarray] = None
-            ) -> Tuple[np.ndarray, np.ndarray]:
+            reset_rows: Optional[np.ndarray] = None,
+            abort_event=None, progress=None, monolithic: bool = False
+            ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         """Sweep; ``prefix_sums`` are the model-length prefix sums (cut
         points). ``reset_rows`` defaults to isolating every model (required
-        for 2D exactness)."""
+        for 2D exactness).
+
+        Default dispatch is PER WAVEFRONT STEP with device-resident scan
+        carries, so ``abort_event`` is honored between steps (returns None
+        when aborted); ``monolithic=True`` restores the single lax.scan
+        dispatch. Same contract as `SwarDistributedSweep.run`."""
         while True:
             try:
-                return self._run_once(scores, prefix_sums, reset_rows)
+                return self._run_once(scores, prefix_sums, reset_rows,
+                                      abort_event, progress, monolithic)
             except _RecordCapacityExceeded as exc:
                 while self.record_cap < exc.nrec:
                     self.record_cap *= 2
-                while self.group_cap < exc.ngroups:
-                    self.group_cap *= 2
                 self._fns.clear()
 
-    def _run_once(self, scores, prefix_sums, reset_rows):
+    def _run_once(self, scores, prefix_sums, reset_rows, abort_event=None,
+                  progress=None, monolithic=False):
         P_ = scores.shape[0]
         prefix = np.asarray(prefix_sums, dtype=np.int64)
         if reset_rows is None:
@@ -226,61 +302,79 @@ class Swar2DSweep:
         rr_dev = stage_from_full(rr_g.reshape(self.D_model, S, self.R),
                                  model_shard)
 
-        if S not in self._fns:
-            self._fns[S] = make_swar_dist2d_fn(
+        key = (S, monolithic)
+        if key not in self._fns:
+            make = (make_swar_dist2d_fn if monolithic
+                    else make_swar_dist2d_step_fn)
+            self._fns[key] = make(
                 self.mesh, self.seq_axis, self.model_axis, self.W3, self.R,
-                S, self.maxt, self.record_cap, self.group_cap, self.interpret,
+                S, self.maxt, self.record_cap, self.interpret,
                 col_chunks=self.col_chunks)
-        istate = device_zeros(self.symw_dev.shape, jnp.int32,
-                              self._seq_shard)
-        packeds = self._fns[S](self.symw_dev, sc_dev, rr_dev, istate)
+        from havac_tpu.parallel.multihost import (
+            global_record_max, global_record_max_many, stage_replicated)
 
-        from havac_tpu.parallel.multihost import global_record_max
+        T = S + self.D_seq - 1
+        if monolithic:
+            istate = device_zeros(self.symw_dev.shape, jnp.int32,
+                                  self._seq_shard)
+            packeds = self._fns[key](self.symw_dev, sc_dev, rr_dev, istate)
+            gmax = global_record_max(packeds, self.mesh)
+            step_packeds = None
+        else:
+            state_shard = NamedSharding(
+                self.mesh, P(self.model_axis, self.seq_axis))
+            istate = device_zeros(
+                (self.D_model,) + self.symw_dev.shape, jnp.int32,
+                state_shard)
+            seam = device_zeros((self.D_model, self.D_seq, self.R + 1),
+                                jnp.int32, state_shard)
+            tarr = stage_replicated(
+                np.arange(T, dtype=np.int32).reshape(T, 1), self.mesh)
+            step_packeds = []
+            for t in range(T):
+                if abort_event is not None and abort_event.is_set():
+                    return None
+                istate, seam, pk = self._fns[key](
+                    self.symw_dev, sc_dev, rr_dev, istate, seam, tarr[t])
+                try:
+                    pk.copy_to_host_async()
+                except AttributeError:  # pragma: no cover - older jax
+                    pass
+                step_packeds.append(pk)
+                if progress is not None:
+                    progress(t + 1, T)
+            gmax = global_record_max_many(step_packeds, self.mesh)
+        if gmax is not None and int(gmax.max()) > self.record_cap:
+            raise _RecordCapacityExceeded(int(gmax.max()))
 
-        gmax = global_record_max(packeds, self.mesh)
-        if gmax is not None and (gmax[0] > self.record_cap
-                                 or gmax[1] > self.group_cap):
-            raise _RecordCapacityExceeded(int(gmax[0]), int(gmax[1]))
-
-        cap = self.record_cap
-        maxt = self.maxt
-        chunk_width = self.chunk_blocks * self.W
         all_rows, all_pos = [], []
         # Decode this process's addressable record shards only (global
         # coordinates; per-host outputs concatenate to the exact global
         # list — same contract as SwarDistributedSweep).
-        for sh in packeds.addressable_shards:
-            g0 = sh.index[0].start or 0
-            d0 = sh.index[1].start or 0
-            arr = np.asarray(sh.data)
-            for gg in range(arr.shape[0]):
-                g = g0 + gg
-                for dd in range(arr.shape[1]):
-                    d = d0 + dd
-                    for t in range(arr.shape[2]):
-                        s = t - d
-                        if not (0 <= s < S):
-                            continue
-                        for c in range(self.col_chunks):
-                            vec = arr[gg, dd, t, c]
-                            n, ngroups = int(vec[0]), int(vec[1])
-                            if n > cap or ngroups > self.group_cap:
-                                raise _RecordCapacityExceeded(n, ngroups)
-                            if n == 0:
-                                continue
-                            ometa = vec[2:2 + maxt]
-                            idx = vec[2 + maxt:2 + maxt + n].astype(np.int64)
-                            words = vec[2 + maxt + cap:2 + maxt + cap + n]
-                            slots = idx // self.W3
-                            word_idx = idx % self.W3
-                            ids = ometa[slots]
-                            rows, pos = decode_swar_flat(
-                                ids, word_idx, words, strips, self.W3)
-                            rows = rows + s * self.R
-                            keep = rows < g_rows[g]
-                            all_rows.append(rows[keep] + g_row0[g])
-                            all_pos.append(pos[keep] + d * self.shard_width
-                                           + c * chunk_width)
+        if monolithic:
+            for sh in packeds.addressable_shards:
+                g0 = sh.index[0].start or 0
+                d0 = sh.index[1].start or 0
+                arr = np.asarray(sh.data)
+                for gg in range(arr.shape[0]):
+                    for dd in range(arr.shape[1]):
+                        for t in range(arr.shape[2]):
+                            self._decode_block(
+                                arr[gg, dd, t], g0 + gg, d0 + dd,
+                                t - (d0 + dd), S, strips, g_rows, g_row0,
+                                all_rows, all_pos)
+        else:
+            for t, pk in enumerate(step_packeds):
+                for sh in pk.addressable_shards:
+                    g0 = sh.index[0].start or 0
+                    d0 = sh.index[1].start or 0
+                    arr = np.asarray(sh.data)  # (Gl, Dl, CC, X)
+                    for gg in range(arr.shape[0]):
+                        for dd in range(arr.shape[1]):
+                            self._decode_block(
+                                arr[gg, dd], g0 + gg, d0 + dd,
+                                t - (d0 + dd), S, strips, g_rows, g_row0,
+                                all_rows, all_pos)
         if not all_rows:
             return (np.empty(0, dtype=np.int64),) * 2
         rows = np.concatenate(all_rows)
@@ -289,3 +383,34 @@ class Swar2DSweep:
         rows, pos = rows[keep], pos[keep]
         order = np.lexsort((pos, rows))
         return rows[order], pos[order]
+
+    def _decode_block(self, vecs, g: int, d: int, s: int, S: int,
+                      strips: int, g_rows, g_row0,
+                      all_rows: list, all_pos: list) -> None:
+        """Decode one (model group g, seq shard d) block of one wavefront
+        step: ``vecs`` is its (CC, X) packed record block for row chunk
+        ``s``."""
+        if not (0 <= s < S):
+            return
+        cap = self.record_cap
+        maxt = self.maxt
+        chunk_width = self.chunk_blocks * self.W
+        for c in range(self.col_chunks):
+            vec = vecs[c]
+            n = int(vec[0])
+            if n > cap:
+                raise _RecordCapacityExceeded(n)
+            if n == 0:
+                continue
+            ometa = vec[1:1 + maxt]
+            idx = vec[1 + maxt:1 + maxt + n].astype(np.int64)
+            words = vec[1 + maxt + cap:1 + maxt + cap + n]
+            slots = idx // self.W3
+            word_idx = idx % self.W3
+            ids = ometa[slots]
+            rows, pos = decode_swar_flat(ids, word_idx, words, strips,
+                                         self.W3)
+            rows = rows + s * self.R
+            keep = rows < g_rows[g]
+            all_rows.append(rows[keep] + g_row0[g])
+            all_pos.append(pos[keep] + d * self.shard_width + c * chunk_width)

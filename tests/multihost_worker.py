@@ -73,13 +73,13 @@ def main():
         mesh = Mesh(np.array(jax.devices()), ("seq",))
         kw = {}
         if case == "overflow":
-            kw = dict(record_cap=16, group_cap=2)
+            kw = dict(record_cap=16)
         sweep = SwarDistributedSweep(codes, mesh, block_width=3072,
                                      rows_per_step=30, interpret=True, **kw)
         rows, pos = sweep.run(scores)
 
     np.savez(os.path.join(outdir, f"proc{pid}.npz"), rows=rows, pos=pos,
-             record_cap=sweep.record_cap, group_cap=sweep.group_cap)
+             record_cap=sweep.record_cap)
     print(f"proc {pid}: {rows.size} local hits", flush=True)
 
 

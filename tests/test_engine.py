@@ -425,3 +425,50 @@ def test_pipelined_checkpoint_resume(tmp_path):
     whole.load_phmm(models).load_sequence(db).run()
     assert_hits_equal(second.hits(), whole.hits())
     assert not _os.path.exists(ckpt)  # cleaned up on completion
+
+
+def test_warmup_then_run_is_exact():
+    """warmup() pre-stages + pre-compiles the pipelined sweep; the following
+    run reuses it and produces identical hits (and a second run after the
+    warm sweep is consumed rebuilds cleanly)."""
+    models, records = generate_planted_fixture(
+        seed=23, model_length=40, sequence_length=6000, num_models=2)
+    db = load_fasta_database(fasta_text(records), pad_multiple=CFG.block_width,
+                             is_text=True)
+    cold = Havac(p_value=P_VALUE, config=CFG, backend="pallas_interpret")
+    cold.load_phmm(models).load_sequence(db).run()
+
+    warm = Havac(p_value=P_VALUE, config=CFG, backend="pallas_interpret")
+    warm.load_phmm(models).load_sequence(db)
+    warm.warmup()
+    assert warm._warm_sweep is not None
+    warm.run()
+    assert warm._warm_sweep is None  # consumed by the run
+    assert_hits_equal(warm.hits(), cold.hits())
+    assert_hits_equal(warm.hits(), oracle_resolved(cold))
+    assert warm.stats.pipeline_prof is not None
+
+    warm.run()  # second run rebuilds the sweep without warmup
+    assert_hits_equal(warm.hits(), cold.hits())
+
+
+def test_warmup_invalidated_by_reload():
+    """Reloading models or sequences drops the warmed sweep (stale geometry
+    must never be reused)."""
+    models, records = generate_planted_fixture(
+        seed=29, model_length=32, sequence_length=4000, num_models=2)
+    db = load_fasta_database(fasta_text(records), pad_multiple=CFG.block_width,
+                             is_text=True)
+    eng = Havac(p_value=P_VALUE, config=CFG, backend="pallas_interpret")
+    with pytest.raises(HavacUsageError):
+        eng.warmup()
+    eng.load_phmm(models).load_sequence(db)
+    eng.warmup()
+    assert eng._warm_sweep is not None
+    eng.load_sequence(db)
+    assert eng._warm_sweep is None
+    eng.warmup()
+    eng.load_phmm(models)
+    assert eng._warm_sweep is None
+    eng.run()
+    assert_hits_equal(eng.hits(), oracle_resolved(eng))

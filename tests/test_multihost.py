@@ -63,7 +63,7 @@ def _run_cluster(tmp_path, case, nproc=2, timeout=600):
         z = np.load(tmp_path / f"proc{i}.npz")
         merged_rows.append(z["rows"])
         merged_pos.append(z["pos"])
-        caps.append((int(z["record_cap"]), int(z["group_cap"])))
+        caps.append(int(z["record_cap"]))
     rows = np.concatenate(merged_rows)
     pos = np.concatenate(merged_pos)
     order = np.lexsort((pos, rows))
@@ -93,8 +93,8 @@ def test_two_process_asymmetric_overflow_retry(tmp_path):
     assert len(want.hit_rows) > 1000  # genuinely hit-dense
     np.testing.assert_array_equal(rows, want.hit_rows)
     np.testing.assert_array_equal(pos, want.hit_positions)
-    assert caps[0] == caps[1]  # hosts agreed on the final caps
-    assert caps[0][0] > 16  # and they actually grew
+    assert caps[0] == caps[1]  # hosts agreed on the final cap
+    assert caps[0] > 16  # and it actually grew
 
 
 @pytest.mark.slow

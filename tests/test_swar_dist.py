@@ -69,7 +69,7 @@ def test_swar_dist_record_cap_retry():
     scores = np.full((30, 4), 127, dtype=np.int8)  # hits everywhere
     sweep = SwarDistributedSweep(codes, mesh(2), block_width=3072,
                                  rows_per_step=30, record_cap=16,
-                                 group_cap=2, interpret=True)
+                                 interpret=True)
     rows, pos = sweep.run(scores)
     want, _ = ssv_reference(codes, scores)
     np.testing.assert_array_equal(rows, want.hit_rows)
@@ -125,3 +125,59 @@ def test_swar_dist_isolation():
     assert len(want.hit_rows) > 0
     np.testing.assert_array_equal(rows, want.hit_rows)
     np.testing.assert_array_equal(pos, want.hit_positions)
+
+
+def test_swar_dist_step_vs_monolithic():
+    """The default per-step dispatch (abortable) and the monolithic
+    lax.scan produce identical hits."""
+    rng = np.random.default_rng(12)
+    codes = rng.integers(0, 4, size=4 * 3072 * 4).astype(np.uint8)
+    scores = rng.integers(-40, 110, size=(75, 4)).astype(np.int8)
+    sweep = sweep_for(codes, 4)
+    rows_s, pos_s = sweep.run(scores)
+    rows_m, pos_m = sweep.run(scores, monolithic=True)
+    want, _ = ssv_reference(codes, scores)
+    assert len(want.hit_rows) > 0
+    np.testing.assert_array_equal(rows_s, want.hit_rows)
+    np.testing.assert_array_equal(rows_m, want.hit_rows)
+    np.testing.assert_array_equal(pos_s, want.hit_positions)
+    np.testing.assert_array_equal(pos_m, want.hit_positions)
+
+
+class _AbortAfter:
+    """threading.Event stand-in that trips after n is_set() polls."""
+
+    def __init__(self, n):
+        self.n = n
+        self.calls = 0
+
+    def is_set(self):
+        self.calls += 1
+        return self.calls > self.n
+
+
+def test_swar_dist_abort_mid_sweep():
+    """abort takes effect BETWEEN wavefront steps (run returns None), and
+    the sweep object remains usable afterwards."""
+    rng = np.random.default_rng(13)
+    codes = rng.integers(0, 4, size=2 * 3072 * 4).astype(np.uint8)
+    scores = rng.integers(-40, 110, size=(90, 4)).astype(np.int8)  # T = 6
+    sweep = sweep_for(codes, 4)
+    ev = _AbortAfter(2)
+    assert sweep.run(scores, abort_event=ev) is None
+    assert ev.calls == 3  # polled per step; tripped mid-sweep
+    rows, pos = sweep.run(scores)
+    want, _ = ssv_reference(codes, scores)
+    np.testing.assert_array_equal(rows, want.hit_rows)
+    np.testing.assert_array_equal(pos, want.hit_positions)
+
+
+def test_swar_dist_progress_reports_steps():
+    rng = np.random.default_rng(14)
+    codes = rng.integers(0, 4, size=2 * 3072 * 2).astype(np.uint8)
+    scores = rng.integers(-40, 110, size=(60, 4)).astype(np.int8)
+    seen = []
+    sweep = sweep_for(codes, 2)
+    sweep.run(scores, progress=lambda step, total: seen.append((step, total)))
+    T = 60 // 30 + 2 - 1
+    assert seen == [(i + 1, T) for i in range(T)]

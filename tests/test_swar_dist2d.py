@@ -71,3 +71,31 @@ def test_2d_column_chunking():
     assert len(want.hit_rows) > 0
     np.testing.assert_array_equal(rows, want.hit_rows)
     np.testing.assert_array_equal(pos, want.hit_positions)
+
+
+def test_swar2d_step_vs_monolithic_and_abort():
+    """Default per-step dispatch matches the monolithic scan bit-for-bit,
+    and abort takes effect between wavefront steps."""
+    from test_swar_dist import _AbortAfter
+
+    rng = np.random.default_rng(21)
+    codes = rng.integers(0, 4, size=2 * 3072 * 4).astype(np.uint8)
+    scores = rng.integers(-40, 110, size=(64, 4)).astype(np.int8)
+    prefix = np.array([0, 33, 64], dtype=np.int64)
+    m = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("seq", "model"))
+    sweep = Swar2DSweep(codes, m, "seq", "model", block_width=3072,
+                        rows_per_step=30, interpret=True)
+    rows_s, pos_s = sweep.run(scores, prefix)
+    rows_m, pos_m = sweep.run(scores, prefix, monolithic=True)
+    np.testing.assert_array_equal(rows_s, rows_m)
+    np.testing.assert_array_equal(pos_s, pos_m)
+    reset = np.zeros(64, dtype=bool)
+    reset[prefix[:-1]] = True
+    want, _ = ssv_reference(codes, scores, reset_rows=reset)
+    assert len(want.hit_rows) > 0
+    np.testing.assert_array_equal(rows_s, want.hit_rows)
+    np.testing.assert_array_equal(pos_s, want.hit_positions)
+
+    assert sweep.run(scores, prefix, abort_event=_AbortAfter(1)) is None
+    rows2, pos2 = sweep.run(scores, prefix)  # still usable after abort
+    np.testing.assert_array_equal(rows2, want.hit_rows)

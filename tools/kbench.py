@@ -1,10 +1,19 @@
-"""Kernel micro-benchmark: device-only GCUPS for the Pallas SSV kernel.
+"""Kernel micro-benchmark: device-only GCUPS for the Pallas SSV kernels.
 
-Usage: python tools/kbench.py [L_log2] [P] [block_width] [rows_per_strip]
-Prints per-iteration GCUPS with inputs staged in HBM (no host transfers in
-the timed region). The companion of bench.py for kernel tuning work.
+Times the production SWAR kernel (default) or the unpacked kernel
+(``--kernel unpacked``) with inputs staged in HBM and DIFFERENTIAL timing —
+the delta between 9 and 1 back-to-back dispatches of one executable, which
+cancels the fixed per-call host round trip (~30-40 ms on the axon tunnel;
+absolute timings underreported the kernel by ~40% and produced a spurious
+"wider blocks are much faster" scaling curve). The companion of bench.py
+for kernel tuning work.
+
+Usage:
+  python tools/kbench.py [--kernel swar|unpacked] [--blocks 22] [--rows 4080]
+                         [--width 387072] [--sweep-blocks 2 4 8 22]
 """
 
+import argparse
 import os
 import sys
 import time
@@ -14,45 +23,112 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main():
-    import jax
+def time_differential(step, state0, *, n_lo=1, n_hi=9, iters=5):
+    """Seconds per dispatch: (t(n_hi) - t(n_lo)) / (n_hi - n_lo).
+
+    ``step(state) -> (state', fetchable)`` must CHAIN real data through the
+    dispatches, and the fetchable is pulled with np.asarray — independent
+    repeated dispatches of one executable get elided/overlapped by the axon
+    platform (measured 400,000 "GCUPS"), and bare block_until_ready is
+    unreliable there; a data-dependent chain ending in a real byte fetch is
+    the only timing this rig respects."""
+
+    def run_n(n):
+        st = state0
+        for _ in range(n):
+            st, fetchable = step(st)
+        return np.asarray(fetchable)
+
+    def best(n):
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            run_n(n)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    run_n(1)  # compile + warm
+    return (best(n_hi) - best(n_lo)) / (n_hi - n_lo)
+
+
+def bench_swar(B: int, P: int, W: int, max_hit_tiles: int = 512,
+               iters: int = 5) -> float:
+    import jax.numpy as jnp
+
+    from havac_tpu.ops.ssv_swar import (
+        ROWS_PER_STRIP, _ssv_swar_jit, pack_symbols)
+
+    W3 = W // 3
+    L = B * W
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=L).astype(np.uint8)
+    scores = rng.integers(-40, 12, size=(P, 4)).astype(np.int8)
+    S = P // ROWS_PER_STRIP
+    symw = jnp.asarray(pack_symbols(codes, W3))
+    sc = jnp.asarray((scores.astype(np.int32) + 256)
+                     .reshape(S, ROWS_PER_STRIP, 4))
+    ist = jnp.zeros((B, W3 // 128, 128), jnp.int32)
+    ic = jnp.zeros(P + 1, jnp.int32)
+
+    def step(st):
+        out = _ssv_swar_jit(symw, sc, st, ic, block_words=W3,
+                            max_hit_tiles=max_hit_tiles, interpret=False)
+        return out[0], out[1]  # chain ostate; fetch ocarry
+
+    dt = time_differential(step, ist, iters=iters)
+    return L * P / dt / 1e9
+
+
+def bench_unpacked(B: int, P: int, W: int, K: int = 32,
+                   iters: int = 5) -> float:
     import jax.numpy as jnp
 
     from havac_tpu.ops.common import SsvKernelConfig
     from havac_tpu.ops.ssv_pallas import _ssv_pallas_jit
 
-    Llog = int(sys.argv[1]) if len(sys.argv) > 1 else 22
-    P = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
-    W = int(sys.argv[3]) if len(sys.argv) > 3 else 32768
-    K = int(sys.argv[4]) if len(sys.argv) > 4 else 32
-    L = 1 << Llog
-
     cfg = SsvKernelConfig(block_width=W, rows_per_strip=K)
     WS = cfg.sublane_rows
-    B, S = L // W, P // K
+    L = B * W
+    S = P // K
     rng = np.random.default_rng(0)
     sym = jnp.asarray(rng.integers(0, 4, size=(B, WS, 128)).astype(np.int8))
     sc = jnp.asarray(rng.integers(-40, 12, size=(S, K, 4)).astype(np.int32))
     ist = jnp.zeros((B, WS, 128), jnp.int32)
     ic = jnp.zeros(P + 1, jnp.int32)
 
-    def run():
-        return _ssv_pallas_jit(sym, sc, ist, ic, block_width=W,
-                               rows_per_strip=K,
-                               max_hit_tiles=cfg.max_hit_tiles,
-                               interpret=False)
+    def step(st):
+        out = _ssv_pallas_jit(sym, sc, st, ic, block_width=W,
+                              rows_per_strip=K,
+                              max_hit_tiles=cfg.max_hit_tiles,
+                              interpret=False)
+        return out[0], out[1]  # chain ostate; fetch ocarry
 
-    out = run()
-    np.asarray(out[3])
-    best = 0.0
-    for i in range(5):
-        t0 = time.perf_counter()
-        out = run()
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        best = max(best, L * P / dt / 1e9)
-        print(f"iter {i}: {dt*1e3:.1f} ms  {L*P/dt/1e9:.1f} GCUPS")
-    print(f"BEST {best:.1f} GCUPS  (L=2^{Llog} P={P} W={W} K={K})")
+    dt = time_differential(step, ist, iters=iters)
+    return L * P / dt / 1e9
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kernel", choices=["swar", "unpacked"], default="swar")
+    ap.add_argument("--blocks", type=int, default=22)
+    ap.add_argument("--rows", type=int, default=4080)
+    ap.add_argument("--width", type=int, default=387072)
+    ap.add_argument("--rows-per-strip", type=int, default=32,
+                    help="unpacked kernel only (SWAR is fixed at 30)")
+    ap.add_argument("--sweep-blocks", type=int, nargs="*", default=None,
+                    help="bench each B in the list instead of one point")
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    blocks = args.sweep_blocks or [args.blocks]
+    for B in blocks:
+        if args.kernel == "swar":
+            g = bench_swar(B, args.rows, args.width, iters=args.iters)
+        else:
+            g = bench_unpacked(B, args.rows, args.width,
+                               K=args.rows_per_strip, iters=args.iters)
+        print(f"{args.kernel} B={B:3d} W={args.width} P={args.rows}: "
+              f"{g:8.1f} GCUPS", flush=True)
 
 
 if __name__ == "__main__":

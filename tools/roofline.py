@@ -41,7 +41,7 @@ Variants:
               match gather would buy.
   noroll    — current minus roll/stitch (match + arithmetic only): what a
               free position shift would buy.
-  addonly   — irreducible shift-xor chain, one op per "row": the VPU's raw
+  addonly   — irreducible dependent chain, 2 ops per "row": the VPU's raw
               dependent-op rate on this buffer size.
   add16     — the same chain on int16 (2 elts/lane candidate).
   add8 / int8mix / int16mix — narrow-int probes; Mosaic's remote compiler
@@ -170,9 +170,10 @@ def make_variant(name: str, WS: int, K: int, interpret: bool = False):
         return state, bits
 
     def mix_addonly(state, bits, i1, i2, i3, ms, k, col0, pos00, cin):
-        # Irreducible dependent chain: one op per row (shift-xor does not
-        # strength-reduce; a plain add chain folded to a single op).
-        return (state << 1) ^ i1, bits
+        # Irreducible dependent chain, 2 ops per row (nonlinear in state, so
+        # neither strength reduction nor xor-folding applies; both a plain
+        # add chain and a shift-xor chain were collapsed by the compiler).
+        return (state + i1) ^ state, bits
 
     mixes = {
         "current": mix_current,
@@ -266,7 +267,9 @@ def make_variant(name: str, WS: int, K: int, interpret: bool = False):
 
             def body(_, state):
                 for _k in range(K):
-                    state = (state << 1) ^ i1
+                    # No shifts: Mosaic's remote compiler crashes on narrow-
+                    # int shifts; this nonlinear chain is also fold-proof.
+                    state = (state + i1) ^ state
                 return state
 
             out_ref[:] = jax.lax.fori_loop(0, reps_smem[0], body, i1)

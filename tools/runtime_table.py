@@ -62,41 +62,52 @@ def main() -> int:
     ap.add_argument("--lengths", type=int, nargs="+",
                     default=[1007, 10122, 50120, 150043])
     ap.add_argument("--pvalue", type=float, default=0.02)
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="runs per size in one process; iteration >0 rows "
+                    "are warm (in-process jit cache, no recompilation)")
     args = ap.parse_args()
 
     rows = []
     for total in args.lengths:
-        if args.synthetic:
-            models, seq = synthetic_workload(total, args.seq_len)
-            engine = Havac(p_value=args.pvalue)
-            t0 = time.perf_counter()
-            engine.load_phmm(models)
-            db = SequenceDatabase(
-                codes=seq, starts=np.array([0, len(seq) + 1]),
-                lengths=np.array([len(seq)]), names=["synth-chr"], seed=0)
-            engine.load_sequence(db)
-            engine.run()
-            hits = engine.hits()
-            elapsed = time.perf_counter() - t0
-        else:
-            engine = Havac(p_value=args.pvalue)
-            t0 = time.perf_counter()
-            engine.load_phmm(args.hmm)
-            engine.load_sequence(args.fasta)
-            engine.run()
-            hits = engine.hits()
-            elapsed = time.perf_counter() - t0
-        ref = REFERENCE_SECONDS.get(total, (None, None))
-        rows.append({
-            "model_positions": int(sum(m.model_length for m in engine.models)),
-            "seconds": round(elapsed, 3),
-            "sweep_seconds": round(engine.stats.sweep_seconds, 3),
-            "gcups_e2e": round(engine.stats.cells / elapsed / 1e9, 1),
-            "num_hits": len(hits),
-            "reference_havac_s": ref[0],
-            "reference_nhmmer32_s": ref[1],
-        })
-        print(json.dumps(rows[-1]))
+        for it in range(args.repeat):
+            if args.synthetic:
+                models, seq = synthetic_workload(total, args.seq_len)
+                engine = Havac(p_value=args.pvalue)
+                t0 = time.perf_counter()
+                engine.load_phmm(models)
+                db = SequenceDatabase(
+                    codes=seq, starts=np.array([0, len(seq) + 1]),
+                    lengths=np.array([len(seq)]), names=["synth-chr"], seed=0)
+                engine.load_sequence(db)
+                engine.run()
+                hits = engine.hits()
+                elapsed = time.perf_counter() - t0
+            else:
+                engine = Havac(p_value=args.pvalue)
+                t0 = time.perf_counter()
+                engine.load_phmm(args.hmm)
+                engine.load_sequence(args.fasta)
+                engine.run()
+                hits = engine.hits()
+                elapsed = time.perf_counter() - t0
+            ref = REFERENCE_SECONDS.get(total, (None, None))
+            rows.append({
+                "model_positions": int(sum(m.model_length
+                                           for m in engine.models)),
+                "iter": it,
+                "seconds": round(elapsed, 3),
+                "sweep_seconds": round(engine.stats.sweep_seconds, 3),
+                "gcups_e2e": round(engine.stats.cells / elapsed / 1e9, 1),
+                "gcups_sweep": round(engine.stats.gcups, 1),
+                "num_hits": len(hits),
+                "reference_havac_s": ref[0],
+                "reference_nhmmer32_s": ref[1],
+            })
+            if engine.stats.pipeline_prof:
+                rows[-1]["phases"] = {
+                    k: round(v, 3)
+                    for k, v in engine.stats.pipeline_prof.items()}
+            print(json.dumps(rows[-1]), flush=True)
     return 0
 
 
