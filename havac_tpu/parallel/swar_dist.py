@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from havac_tpu.ops.common import round_up
+from havac_tpu.ops.common import hit_sort_order, round_up
 from havac_tpu.ops.ssv_swar import (
     ROWS_PER_FLUSH,
     ROWS_PER_STRIP,
@@ -96,13 +96,14 @@ def make_swar_dist_fn(mesh: Mesh, axis: str, block_words: int,
             def col_chunk(carry_c, c):
                 symw_c = jax.lax.dynamic_slice_in_dim(symw, c * Bc, Bc)
                 istate_c = jax.lax.dynamic_slice_in_dim(istate, c * Bc, Bc)
-                ostate, ocarry, ometa, ocount, otiles = _ssv_swar_jit(
+                (ostate, ocarry, ometa, ocount, otiles,
+             ocnts) = _ssv_swar_jit(
                     symw_c, sc, istate_c, carry_c,
                     rr if isolate else None, block_words=W3,
                     max_hit_tiles=max_hit_tiles, interpret=interpret,
                     isolate=isolate)
                 count = jnp.where(active, ocount[0], 0)
-                packed = _compact_tiles_impl(otiles, ometa, count,
+                packed = _compact_tiles_impl(otiles, ocnts, ometa, count,
                                              cap=record_cap)
                 return ocarry, (ostate, packed)
 
@@ -169,13 +170,14 @@ def make_swar_dist_step_fn(mesh: Mesh, axis: str, block_words: int,
         def col_chunk(carry_c, c):
             symw_c = jax.lax.dynamic_slice_in_dim(symw, c * Bc, Bc)
             istate_c = jax.lax.dynamic_slice_in_dim(istate, c * Bc, Bc)
-            ostate, ocarry, ometa, ocount, otiles = _ssv_swar_jit(
+            (ostate, ocarry, ometa, ocount, otiles,
+             ocnts) = _ssv_swar_jit(
                 symw_c, sc, istate_c, carry_c,
                 rr if isolate else None, block_words=W3,
                 max_hit_tiles=max_hit_tiles, interpret=interpret,
                 isolate=isolate)
             count = jnp.where(active, ocount[0], 0)
-            packed = _compact_tiles_impl(otiles, ometa, count,
+            packed = _compact_tiles_impl(otiles, ocnts, ometa, count,
                                          cap=record_cap)
             return ocarry, (ostate, packed)
 
@@ -378,7 +380,7 @@ class SwarDistributedSweep:
         pos = np.concatenate(all_pos)
         keep = (rows < P_) & (pos < self.L)
         rows, pos = rows[keep], pos[keep]
-        order = np.lexsort((pos, rows))
+        order = hit_sort_order(rows, pos)
         return rows[order], pos[order]
 
     def _decode_step(self, vecs, d: int, s: int, S: int,

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from havac_tpu.ops.common import round_up
+from havac_tpu.ops.common import hit_sort_order, round_up
 from havac_tpu.ops.ssv_swar import (
     ROWS_PER_FLUSH,
     ROWS_PER_STRIP,
@@ -91,12 +91,13 @@ def make_swar_dist2d_fn(mesh: Mesh, seq_axis: str, model_axis: str,
             def col_chunk(carry_c, c):
                 symw_c = jax.lax.dynamic_slice_in_dim(symw, c * Bc, Bc)
                 istate_c = jax.lax.dynamic_slice_in_dim(istate, c * Bc, Bc)
-                ostate, ocarry, ometa, ocount, otiles = _ssv_swar_jit(
+                (ostate, ocarry, ometa, ocount, otiles,
+             ocnts) = _ssv_swar_jit(
                     symw_c, sc, istate_c, carry_c, rr, block_words=W3,
                     max_hit_tiles=max_hit_tiles, interpret=interpret,
                     isolate=True)
                 count = jnp.where(active, ocount[0], 0)
-                packed = _compact_tiles_impl(otiles, ometa, count,
+                packed = _compact_tiles_impl(otiles, ocnts, ometa, count,
                                              cap=record_cap)
                 return ocarry, (ostate, packed)
 
@@ -163,12 +164,13 @@ def make_swar_dist2d_step_fn(mesh: Mesh, seq_axis: str, model_axis: str,
         def col_chunk(carry_c, c):
             symw_c = jax.lax.dynamic_slice_in_dim(symw, c * Bc, Bc)
             istate_c = jax.lax.dynamic_slice_in_dim(istate, c * Bc, Bc)
-            ostate, ocarry, ometa, ocount, otiles = _ssv_swar_jit(
+            (ostate, ocarry, ometa, ocount, otiles,
+             ocnts) = _ssv_swar_jit(
                 symw_c, sc, istate_c, carry_c, rr, block_words=W3,
                 max_hit_tiles=max_hit_tiles, interpret=interpret,
                 isolate=True)
             count = jnp.where(active, ocount[0], 0)
-            packed = _compact_tiles_impl(otiles, ometa, count,
+            packed = _compact_tiles_impl(otiles, ocnts, ometa, count,
                                          cap=record_cap)
             return ocarry, (ostate, packed)
 
@@ -381,7 +383,7 @@ class Swar2DSweep:
         pos = np.concatenate(all_pos)
         keep = pos < self.L
         rows, pos = rows[keep], pos[keep]
-        order = np.lexsort((pos, rows))
+        order = hit_sort_order(rows, pos)
         return rows[order], pos[order]
 
     def _decode_block(self, vecs, g: int, d: int, s: int, S: int,

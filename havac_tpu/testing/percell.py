@@ -146,7 +146,7 @@ def dp_matrix_swar(
         isolate=isolate,
         debug_rows=True,
     )
-    orows = np.asarray(out[5])  # (B, P2, WS, 128) packed
+    orows = np.asarray(out[6])  # (B, P2, WS, 128) packed
     matrix = np.empty((P, L), dtype=np.int32)
     for j in range(P):
         matrix[j] = unpack_state(orows[:, j])[:L]

@@ -70,26 +70,26 @@ def main() -> int:
     rows = []
     for total in args.lengths:
         for it in range(args.repeat):
+            engine = Havac(p_value=args.pvalue)
             if args.synthetic:
                 models, seq = synthetic_workload(total, args.seq_len)
-                engine = Havac(p_value=args.pvalue)
-                t0 = time.perf_counter()
+            t0 = time.perf_counter()
+            if args.synthetic:
                 engine.load_phmm(models)
                 db = SequenceDatabase(
                     codes=seq, starts=np.array([0, len(seq) + 1]),
                     lengths=np.array([len(seq)]), names=["synth-chr"], seed=0)
                 engine.load_sequence(db)
-                engine.run()
-                hits = engine.hits()
-                elapsed = time.perf_counter() - t0
             else:
-                engine = Havac(p_value=args.pvalue)
-                t0 = time.perf_counter()
                 engine.load_phmm(args.hmm)
                 engine.load_sequence(args.fasta)
-                engine.run()
-                hits = engine.hits()
-                elapsed = time.perf_counter() - t0
+            t_load = time.perf_counter()
+            engine.run()
+            t_run = time.perf_counter()
+            hits = engine.hits()
+            elapsed = time.perf_counter() - t0
+            load_s, run_s = t_load - t0, t_run - t_load
+            resolve_s = elapsed - (t_run - t0)
             ref = REFERENCE_SECONDS.get(total, (None, None))
             rows.append({
                 "model_positions": int(sum(m.model_length
@@ -100,6 +100,9 @@ def main() -> int:
                 "gcups_e2e": round(engine.stats.cells / elapsed / 1e9, 1),
                 "gcups_sweep": round(engine.stats.gcups, 1),
                 "num_hits": len(hits),
+                "load_s": round(load_s, 3),
+                "run_s": round(run_s, 3),
+                "resolve_s": round(resolve_s, 3),
                 "reference_havac_s": ref[0],
                 "reference_nhmmer32_s": ref[1],
             })
