@@ -148,7 +148,7 @@ def resolve_hits(
     hit_positions: np.ndarray,
     sequence_db,
     phmm_prefix_sums: np.ndarray,
-    workers: int = 8,
+    workers: int = 16,
 ) -> ResolvedHits:
     """Global (row, position) → local coordinates, dropping padding hits.
 
