@@ -23,7 +23,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from havac_tpu.ops.common import SsvKernelConfig, hit_sort_order, round_up
+from havac_tpu.ops.common import (SsvKernelConfig, round_up,
+                                  sort_hit_pairs)
 
 
 def _nonzero_capped(x, cap: int):
@@ -478,7 +479,6 @@ class PipelinedSweep:
 
         t_tail = time.perf_counter()
         rows, pos = _concat_results(results)
-        order = hit_sort_order(rows, pos)
-        rows, pos = rows[order], pos[order]
+        rows, pos = sort_hit_pairs(rows, pos)
         self.prof["tail_sort"] = time.perf_counter() - t_tail
         return rows, pos, time.perf_counter() - t_start

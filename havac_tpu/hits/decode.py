@@ -165,6 +165,21 @@ def resolve_hits(
     hit_rows = np.asarray(hit_rows, dtype=np.int64)
     hit_positions = np.asarray(hit_positions, dtype=np.int64)
     n = hit_rows.shape[0]
+    if n:
+        try:
+            from havac_tpu import native
+
+            out = native.resolve_hits_native(
+                hit_rows, hit_positions,
+                np.asarray(sequence_db.starts, dtype=np.int64),
+                np.asarray(sequence_db.lengths, dtype=np.int64),
+                np.asarray(phmm_prefix_sums, dtype=np.int64))
+            if out is not None:
+                return ResolvedHits(sequence_index=out[0],
+                                    sequence_position=out[1],
+                                    phmm_index=out[2], phmm_position=out[3])
+        except Exception:  # pragma: no cover - fall back to numpy
+            pass
     if n < (1 << 20) or workers <= 1:
         return _resolve_block(hit_rows, hit_positions, sequence_db,
                               phmm_prefix_sums)

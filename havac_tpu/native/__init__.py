@@ -75,6 +75,16 @@ def _load() -> Optional[ctypes.CDLL]:
         getattr(lib, fn).argtypes = [p, i64]
     lib.hv_hmm_scores.argtypes = [p, i64, ctypes.POINTER(ctypes.c_float)]
     lib.hv_hmm_close.argtypes = [p]
+    pi64 = ctypes.POINTER(i64)
+    pu32 = ctypes.POINTER(ctypes.c_uint32)
+    lib.hv_decode_swar_flat.restype = i64
+    lib.hv_decode_swar_flat.argtypes = [pi64, pi64, pu32, i64, i64, i64,
+                                        pi64, pi64]
+    lib.hv_sort_hits.argtypes = [pi64, pi64, i64, ctypes.c_int]
+    lib.hv_resolve_hits.restype = i64
+    lib.hv_resolve_hits.argtypes = [pi64, pi64, i64, pi64, pi64, i64,
+                                    pi64, i64, pi64, pi64, pi64, pi64,
+                                    ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -156,3 +166,61 @@ def read_hmm_native(path: str):
         return models
     finally:
         lib.hv_hmm_close(h)
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def decode_swar_flat_native(tile_ids, word_idx, words, num_strips: int,
+                            block_words: int):
+    """Native SWAR record decode → sorted (rows, positions); None when the
+    library is unavailable (callers fall back to the numpy path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = int(words.shape[0])
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    ids = np.ascontiguousarray(tile_ids, dtype=np.int64)
+    widx = np.ascontiguousarray(word_idx, dtype=np.int64)
+    w = np.ascontiguousarray(words).view(np.uint32)
+    rows = np.empty(30 * n, dtype=np.int64)
+    pos = np.empty(30 * n, dtype=np.int64)
+    m = lib.hv_decode_swar_flat(
+        _i64p(ids), _i64p(widx),
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n, num_strips, block_words, _i64p(rows), _i64p(pos))
+    return rows[:m].copy(), pos[:m].copy()
+
+
+def sort_hits_native(rows, pos, nthreads: int = 8) -> bool:
+    """In-place parallel (row, position) sort; False when unavailable."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert rows.dtype == np.int64 and pos.dtype == np.int64
+    assert rows.flags.c_contiguous and pos.flags.c_contiguous
+    lib.hv_sort_hits(_i64p(rows), _i64p(pos), rows.shape[0], nthreads)
+    return True
+
+
+def resolve_hits_native(rows, pos, starts, lengths, prefix,
+                        nthreads: int = 8):
+    """Native coordinate resolution; returns (seq_idx, seq_pos, model_idx,
+    model_pos) or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    prefix = np.ascontiguousarray(prefix, dtype=np.int64)
+    n = rows.shape[0]
+    out = [np.empty(n, dtype=np.int64) for _ in range(4)]
+    m = lib.hv_resolve_hits(
+        _i64p(rows), _i64p(pos), n, _i64p(starts), _i64p(lengths),
+        starts.shape[0] - 1, _i64p(prefix), prefix.shape[0] - 1,
+        _i64p(out[0]), _i64p(out[1]), _i64p(out[2]), _i64p(out[3]), nthreads)
+    return tuple(a[:m].copy() for a in out)

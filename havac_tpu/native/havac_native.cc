@@ -19,6 +19,9 @@
 #include <cstring>
 #include <string>
 #include <vector>
+#include <algorithm>
+#include <thread>
+#include <utility>
 
 namespace {
 
@@ -345,6 +348,189 @@ void hv_hmm_scores(void* h, int64_t i, float* out) {
 void hv_hmm_close(void* h) { delete static_cast<Hmm*>(h); }
 
 }  // extern "C"
+
+// ------------------------------------------------- hit path (decode/sort/
+// resolve)
+//
+// The host side of hit reporting (`host/Havac.cpp:104-187` + the bitmap
+// decode the reference does on-FPGA in `device/HitReporting.cpp`). These
+// run in Python worker threads via ctypes (GIL released), replacing numpy
+// paths that are bandwidth-bound on single-core hosts: per-chunk SWAR
+// record decode, the global (row, position) sort, and coordinate
+// resolution.
+
+namespace {
+
+inline uint64_t hit_key(int64_t row, int64_t pos) {
+  // rows < 2^24 and positions < 2^38 in any realistic run; the engine's
+  // numpy fallback uses the same composite ordering.
+  return (static_cast<uint64_t>(row) << 38) | static_cast<uint64_t>(pos);
+}
+
+void sort_pairs(int64_t* rows, int64_t* pos, int64_t n, int nthreads);
+
+struct HitVec {
+  std::vector<int64_t> rows, pos;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Expand SWAR bitmap records to (row, position) pairs, sorted by
+// (row, pos). ids[e] = (block*num_strips + strip)*3 + flush; words[e] is a
+// packed 3x10-bit bitmap (field f bit (9-r) = hit at row
+// strip*30 + flush*10 + r, position block*3*W3 + f*W3 + word_idx[e]).
+// rows_out/pos_out must hold 30*n entries; returns the hit count.
+int64_t hv_decode_swar_flat(const int64_t* ids, const int64_t* word_idx,
+                            const uint32_t* words, int64_t n,
+                            int64_t num_strips, int64_t block_words,
+                            int64_t* rows_out, int64_t* pos_out) {
+  const int64_t W3 = block_words;
+  const int64_t W = 3 * W3;
+  int64_t m = 0;
+  for (int64_t e = 0; e < n; e++) {
+    const uint32_t w = words[e];
+    if (!w) continue;
+    const int64_t id = ids[e];
+    const int64_t flush = id % 3;
+    const int64_t bs = id / 3;
+    const int64_t block = bs / num_strips;
+    const int64_t strip = bs % num_strips;
+    const int64_t row_base = strip * 30 + flush * 10;
+    const int64_t pos_base = block * W + word_idx[e];
+    for (int f = 0; f < 3; f++) {
+      uint32_t field = (w >> (10 * f)) & 0x3FF;
+      if (!field) continue;
+      const int64_t p = pos_base + f * W3;
+      while (field) {
+        const int bit = 31 - __builtin_clz(field);  // highest set bit
+        rows_out[m] = row_base + (9 - bit);
+        pos_out[m] = p;
+        m++;
+        field &= ~(1u << bit);
+      }
+    }
+  }
+  sort_pairs(rows_out, pos_out, m, 1);  // chunks parallelize above us
+  return m;
+}
+
+// In-place parallel sort of parallel (row, position) arrays by (row, pos).
+void hv_sort_hits(int64_t* rows, int64_t* pos, int64_t n, int nthreads) {
+  sort_pairs(rows, pos, n, nthreads);
+}
+
+// Resolve global (row, position) hits to local coordinates, dropping
+// padding/separator hits (`Havac::getHitsFromFinishedRun`,
+// `host/Havac.cpp:145-187`): sequence side via binary search over starts,
+// model side via model-length prefix sums. Order-preserving compaction;
+// returns the kept count.
+int64_t hv_resolve_hits(const int64_t* rows, const int64_t* pos, int64_t n,
+                        const int64_t* starts, const int64_t* lengths,
+                        int64_t nseq, const int64_t* prefix, int64_t nmodels,
+                        int64_t* seq_idx, int64_t* seq_pos,
+                        int64_t* model_idx, int64_t* model_pos,
+                        int nthreads) {
+  if (n == 0) return 0;
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 64) nthreads = 64;
+  const int64_t total_rows = prefix[nmodels];
+  std::vector<int64_t> counts(static_cast<size_t>(nthreads), 0);
+  std::vector<std::thread> threads;
+  auto work = [&](int t) {
+    const int64_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+    int64_t m = lo;  // compact within [lo, hi) in place
+    for (int64_t e = lo; e < hi; e++) {
+      const int64_t gp = pos[e];
+      if (gp < 0) continue;
+      // upper_bound(starts, gp) - 1
+      const int64_t* ub = std::upper_bound(starts, starts + nseq + 1, gp);
+      const int64_t si = (ub - starts) - 1;
+      if (si < 0 || si >= nseq) continue;
+      const int64_t local = gp - starts[si];
+      if (local >= lengths[si]) continue;  // separator / pad
+      const int64_t row = rows[e];
+      if (row < 0 || row >= total_rows) continue;
+      const int64_t* mb = std::upper_bound(prefix, prefix + nmodels + 1, row);
+      const int64_t mi = (mb - prefix) - 1;
+      seq_idx[m] = si;
+      seq_pos[m] = local;
+      model_idx[m] = mi;
+      model_pos[m] = row - prefix[mi];
+      m++;
+    }
+    counts[static_cast<size_t>(t)] = m - lo;
+  };
+  for (int t = 0; t < nthreads; t++) threads.emplace_back(work, t);
+  for (auto& th : threads) th.join();
+  //
+
+  // Serial order-preserving compaction of the per-slice runs.
+  int64_t out = counts[0];
+  for (int t = 1; t < nthreads; t++) {
+    const int64_t lo = n * t / nthreads;
+    const int64_t c = counts[static_cast<size_t>(t)];
+    if (lo != out && c) {
+      std::memmove(seq_idx + out, seq_idx + lo, sizeof(int64_t) * c);
+      std::memmove(seq_pos + out, seq_pos + lo, sizeof(int64_t) * c);
+      std::memmove(model_idx + out, model_idx + lo, sizeof(int64_t) * c);
+      std::memmove(model_pos + out, model_pos + lo, sizeof(int64_t) * c);
+    }
+    out += c;
+  }
+  return out;
+}
+
+}  // extern "C"
+
+namespace {
+
+void sort_pairs(int64_t* rows, int64_t* pos, int64_t n, int nthreads) {
+  if (n <= 1) return;
+  std::vector<std::pair<uint64_t, int64_t>> keyed(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; i++)
+    keyed[static_cast<size_t>(i)] = {hit_key(rows[i], pos[i]), i};
+  if (nthreads > 1 && n > (1 << 18)) {
+    // Sort slices in parallel, then merge pairwise.
+    int t = 1;
+    while (t * 2 <= nthreads) t *= 2;  // power of two
+    std::vector<int64_t> bounds;
+    for (int i = 0; i <= t; i++) bounds.push_back(n * i / t);
+    std::vector<std::thread> threads;
+    for (int i = 0; i < t; i++)
+      threads.emplace_back([&, i] {
+        std::sort(keyed.begin() + bounds[static_cast<size_t>(i)],
+                  keyed.begin() + bounds[static_cast<size_t>(i) + 1]);
+      });
+    for (auto& th : threads) th.join();
+    for (int width = 1; width < t; width *= 2) {
+      std::vector<std::thread> mergers;
+      for (int i = 0; i + width < t; i += 2 * width) {
+        mergers.emplace_back([&, i] {
+          std::inplace_merge(
+              keyed.begin() + bounds[static_cast<size_t>(i)],
+              keyed.begin() + bounds[static_cast<size_t>(i + width)],
+              keyed.begin() + bounds[static_cast<size_t>(
+                  std::min(i + 2 * width, t))]);
+        });
+      }
+      for (auto& th : mergers) th.join();
+    }
+  } else {
+    std::sort(keyed.begin(), keyed.end());
+  }
+  std::vector<int64_t> r2(static_cast<size_t>(n)), p2(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; i++) {
+    const int64_t src = keyed[static_cast<size_t>(i)].second;
+    r2[static_cast<size_t>(i)] = rows[src];
+    p2[static_cast<size_t>(i)] = pos[src];
+  }
+  std::memcpy(rows, r2.data(), sizeof(int64_t) * static_cast<size_t>(n));
+  std::memcpy(pos, p2.data(), sizeof(int64_t) * static_cast<size_t>(n));
+}
+
+}  // namespace
 
 // ------------------------------------------------------- ASan self-test main
 //

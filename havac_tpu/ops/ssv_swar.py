@@ -506,6 +506,15 @@ def decode_swar_flat(
     (id = (block·S + strip)·3 + flush, as in :func:`decode_swar_tiles`)."""
     if words.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    try:
+        from havac_tpu import native
+
+        out = native.decode_swar_flat_native(
+            tile_ids_per_entry, word_idx, words, num_strips, block_words)
+        if out is not None:
+            return out
+    except Exception:  # pragma: no cover - fall back to numpy
+        pass
     words = np.asarray(words).view(np.uint32)
     flat = np.asarray(tile_ids_per_entry, dtype=np.int64)
     word_idx = np.asarray(word_idx, dtype=np.int64)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from havac_tpu.ops.common import hit_sort_order, round_up
+from havac_tpu.ops.common import round_up, sort_hit_pairs
 from havac_tpu.ops.ssv_swar import (
     ROWS_PER_FLUSH,
     ROWS_PER_STRIP,
@@ -380,8 +380,7 @@ class SwarDistributedSweep:
         pos = np.concatenate(all_pos)
         keep = (rows < P_) & (pos < self.L)
         rows, pos = rows[keep], pos[keep]
-        order = hit_sort_order(rows, pos)
-        return rows[order], pos[order]
+        return sort_hit_pairs(rows, pos)
 
     def _decode_step(self, vecs, d: int, s: int, S: int,
                      all_rows: list, all_pos: list) -> None:

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from havac_tpu.ops.common import hit_sort_order, round_up
+from havac_tpu.ops.common import round_up, sort_hit_pairs
 from havac_tpu.ops.ssv_swar import (
     ROWS_PER_FLUSH,
     ROWS_PER_STRIP,
@@ -383,8 +383,7 @@ class Swar2DSweep:
         pos = np.concatenate(all_pos)
         keep = pos < self.L
         rows, pos = rows[keep], pos[keep]
-        order = hit_sort_order(rows, pos)
-        return rows[order], pos[order]
+        return sort_hit_pairs(rows, pos)
 
     def _decode_block(self, vecs, g: int, d: int, s: int, S: int,
                       strips: int, g_rows, g_row0,

@@ -141,3 +141,87 @@ def test_asan_selftest_on_malformed_inputs(tmp_path):
     out = res.stdout.decode()
     assert "undersized->-1" in out  # oversize-write guard engaged
     assert "ERROR" in out  # malformed inputs reported, not crashed
+
+
+def _numpy_decode_swar_flat(ids, widx, words, num_strips, block_words):
+    """The pre-native numpy reference decode (kept for parity testing)."""
+    from havac_tpu.ops.common import hit_sort_order
+    from havac_tpu.ops.ssv_swar import ROWS_PER_FLUSH, ROWS_PER_STRIP
+
+    words = np.asarray(words).view(np.uint32)
+    flat = np.asarray(ids, dtype=np.int64)
+    widx = np.asarray(widx, dtype=np.int64)
+    W3 = block_words
+    W = 3 * W3
+    nf = ROWS_PER_FLUSH
+    flush = flat % 3
+    bs = flat // 3
+    blocks = bs // num_strips
+    strips = bs % num_strips
+    row_base = strips * ROWS_PER_STRIP + flush * nf
+    rows_out, pos_out = [], []
+    for f in range(3):
+        for r in range(nf):
+            sel = ((words >> np.uint32(10 * f + nf - 1 - r))
+                   & np.uint32(1)).astype(bool)
+            if sel.any():
+                rows_out.append(row_base[sel] + r)
+                pos_out.append(blocks[sel] * W + f * W3 + widx[sel])
+    if not rows_out:
+        return (np.empty(0, dtype=np.int64),) * 2
+    rows = np.concatenate(rows_out)
+    positions = np.concatenate(pos_out)
+    order = hit_sort_order(rows, positions)
+    return rows[order], positions[order]
+
+
+def test_native_decode_swar_flat_parity():
+    rng = np.random.default_rng(5)
+    n = 5000
+    num_strips, W3 = 7, 1024
+    ids = rng.integers(0, 4 * num_strips * 3, size=n)
+    widx = rng.integers(0, W3, size=n)
+    words = rng.integers(0, 1 << 30, size=n).astype(np.int32)
+    words[rng.random(n) < 0.3] = 0  # empty records occur
+    got = native.decode_swar_flat_native(ids, widx, words, num_strips, W3)
+    assert got is not None
+    want = _numpy_decode_swar_flat(ids, widx, words, num_strips, W3)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_native_sort_hits_parity():
+    from havac_tpu.ops.common import hit_sort_order
+
+    rng = np.random.default_rng(6)
+    rows = rng.integers(0, 200_000, size=300_001).astype(np.int64)
+    pos = rng.integers(0, 50_000_000, size=300_001).astype(np.int64)
+    order = hit_sort_order(rows, pos)
+    want = (rows[order].copy(), pos[order].copy())
+    r2, p2 = rows.copy(), pos.copy()
+    assert native.sort_hits_native(r2, p2)
+    np.testing.assert_array_equal(r2, want[0])
+    np.testing.assert_array_equal(p2, want[1])
+
+
+def test_native_resolve_hits_parity():
+    from havac_tpu.hits.decode import _resolve_block
+    from havac_tpu.io.fasta import SequenceDatabase
+
+    rng = np.random.default_rng(7)
+    lengths = np.array([1000, 1, 2500, 700], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lengths + 1)])
+    L = int(starts[-1]) + 64  # trailing pad region
+    db = SequenceDatabase(codes=np.zeros(L, dtype=np.uint8), starts=starts,
+                          lengths=lengths, names=list("abcd"), seed=0)
+    prefix = np.array([0, 40, 41, 200, 377], dtype=np.int64)
+    n = 100_000
+    rows = rng.integers(-2, 400, size=n).astype(np.int64)  # incl. out-of-range
+    pos = rng.integers(-2, L + 10, size=n).astype(np.int64)
+    got = native.resolve_hits_native(rows, pos, starts, lengths, prefix)
+    assert got is not None
+    want = _resolve_block(rows, pos, db, prefix)
+    np.testing.assert_array_equal(got[0], want.sequence_index)
+    np.testing.assert_array_equal(got[1], want.sequence_position)
+    np.testing.assert_array_equal(got[2], want.phmm_index)
+    np.testing.assert_array_equal(got[3], want.phmm_position)
