@@ -220,6 +220,55 @@ def cmd_scan(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Warm-process server: scan FASTA databases on request.
+
+    Reads one request per line from stdin — ``PATH`` or ``PATH<TAB>OUT.tsv``
+    (default out: ``PATH.hits.tsv``) — and answers each with a JSON status
+    line on stdout. The engine persists across requests, so every request
+    after the first runs fully warm: the pipeline pads all chunks to one
+    shape, so databases of ANY length share the same compiled executables
+    (on remote-compile rigs, that converts a 30-300 s cold start into a
+    one-time cost; the reference has no analog — its ~6 s xclbin load
+    repeats per process, `benchmark/runtime_table.py:8`)."""
+    import os
+
+    engine = _build_engine(args)
+    engine.load_phmm(args.hmm)
+    print(json.dumps({"ready": True, "models": len(engine.models)}),
+          flush=True)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line or line == "quit":
+            break
+        path, _, out_path = line.partition("\t")
+        out_path = out_path or (path + ".hits.tsv")
+        t0 = time.perf_counter()
+        try:
+            engine.load_sequence(path)
+            engine.run()
+            hits = engine.hits()
+            with open(out_path, "w") as out:
+                out.write("#sequence\tseq_position\tmodel\tmodel_position"
+                          "\tstrand\n")
+                names = engine.database.names
+                models = engine.models
+                for si, sp, mi, mp, st in hits.as_tuples_stranded():
+                    label = models[mi].accession or models[mi].name
+                    out.write(f"{names[si]}\t{sp}\t{label}\t{mp}\t{st}\n")
+            print(json.dumps({
+                "file": path, "out": out_path, "hits": len(hits),
+                "raw_hits": engine.stats.num_raw_hits,
+                "seconds": round(time.perf_counter() - t0, 3),
+                "gcups_sweep": round(engine.stats.gcups, 1),
+            }), flush=True)
+        except Exception as exc:  # noqa: BLE001 — a bad request must not
+            # take down the warm server (and its compiled state) with it.
+            print(json.dumps({"file": path, "error": str(exc)[:500]}),
+                  flush=True)
+    return 0
+
+
 def cmd_quantize(args) -> int:
     """Quantization forensics: rescore nhmmer windows with int8 vs float
     projections — the hmmerSsvRef executable analog (`test/hmmerSsvRef`)."""
@@ -314,6 +363,24 @@ def main(argv=None) -> int:
     p_scan.add_argument("--verbose", "-v", action="store_true")
     p_scan.add_argument("--out", default="-")
     p_scan.set_defaults(fn=cmd_scan)
+
+    p_serve = sub.add_parser(
+        "serve",
+        help="warm-process server: FASTA paths on stdin, JSON status per "
+             "request (every request after the first runs fully warm)")
+    p_serve.add_argument("--hmm", required=True)
+    p_serve.add_argument("--pvalue", type=float, default=0.02)
+    p_serve.add_argument("--backend", default="auto",
+                         choices=["auto", "pallas", "pallas_interpret",
+                                  "xla"])
+    p_serve.add_argument("--chunk-symbols", type=int, default=1 << 24)
+    p_serve.add_argument("--chunk-rows", type=int, default=8160)
+    p_serve.add_argument("--strand", default="forward",
+                         choices=["forward", "both"])
+    p_serve.add_argument("--isolate-models", action="store_true")
+    p_serve.add_argument("--verify", action="store_true")
+    p_serve.add_argument("--verbose", "-v", action="store_true")
+    p_serve.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)
     return args.fn(args)

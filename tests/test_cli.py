@@ -88,3 +88,37 @@ def test_cli_scan(workdir, capsys, tmp_path):
     assert lines[0].startswith("#file")
     files = {line.split("\t")[0] for line in lines[1:]}
     assert len(files) == 2
+
+
+def test_cli_serve(workdir, capsys, monkeypatch, tmp_path):
+    """Warm-server loop: requests on stdin, JSON status per request, one
+    hits TSV per database; results identical to one-shot search."""
+    import io as _io
+
+    out1 = tmp_path / "a.tsv"
+    req = (f"{workdir / 'db.fasta'}\t{out1}\n"
+           f"{workdir / 'db2.fasta'}\n"
+           "quit\n")
+    monkeypatch.setattr("sys.stdin", _io.StringIO(req))
+    rc = main(["serve", "--hmm", str(workdir / "m.hmm"), *BASE])
+    assert rc == 0
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert lines[0]["ready"] and lines[0]["models"] == 2
+    assert lines[1]["out"] == str(out1) and lines[1]["hits"] > 0
+    default_out = str(workdir / "db2.fasta") + ".hits.tsv"
+    assert lines[2]["out"] == default_out and lines[2]["hits"] > 0
+
+    # parity with one-shot search on the first database
+    ref = tmp_path / "ref.tsv"
+    main(["search", "--hmm", str(workdir / "m.hmm"),
+          "--fasta", str(workdir / "db.fasta"), *BASE, "--out", str(ref)])
+    capsys.readouterr()
+    assert out1.read_text() == ref.read_text()
+
+    # a bad request reports an error and does not kill the server
+    monkeypatch.setattr("sys.stdin",
+                        _io.StringIO("/nonexistent.fasta\nquit\n"))
+    rc = main(["serve", "--hmm", str(workdir / "m.hmm"), *BASE])
+    assert rc == 0
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert "error" in lines[1]
