@@ -85,10 +85,12 @@ def _compact_tiles_impl(otiles, ocnts, ometa, count, cap: int):
          each tile (``ocnts``, a 16 MB sidecar computed while the bits are
          in registers) — compaction never reads the 2 GB tile buffer
          wholesale;
-      2. a prefix over the (maxt·WS,) counts;
-      3. each output record binary-searches its row in the prefix, gathers
-         ONLY that row (cap × 512 B total), and locates its lane with a
-         per-row prefix.
+      2. a two-level prefix following the sidecar's (slot, i) blocks: a
+         cumsum over the maxt·8 group totals, then per-record group search
+         + an in-group per-row prefix — no (maxt·WS)-length (≈4M) cumsum
+         or searchsorted ever materializes;
+      3. each output record gathers ONLY its row of the tile buffer
+         (cap × 512 B total) and locates its lane with a per-row prefix.
     Cost is O(counts sidecar) + O(cap · 128) independent of how hits
     cluster (measured 7.8 ms vs 24 ms for the group scheme at engine
     geometry), and the old group_cap adaptivity is gone because nothing
@@ -102,20 +104,37 @@ def _compact_tiles_impl(otiles, ocnts, ometa, count, cap: int):
 
     maxt, WS, _ = otiles.shape
     R = maxt * WS
+    C = WS // 8
+    NG = maxt * 8
     rows = otiles.reshape(R, 128)
-    # ocnts is (maxt, 8, C>=WS/8): [slot, i, g] counts sublane row
-    # i*(WS/8)+g (lane-padded by the kernel; sliced off here).
-    cnt2 = ocnts[:, :, :WS // 8].reshape(maxt, WS)
-    cnt2 = jnp.where(jnp.arange(maxt)[:, None] < count, cnt2, 0)
-    coffs = jnp.cumsum(cnt2.reshape(R))
-    nrec = coffs[R - 1]
+    # ocnts is (maxt, 8, C>=WS/8): [slot, i, g] counts sublane row i*C+g
+    # (lane-padded by the kernel; sliced off here). The search structure is
+    # TWO-LEVEL, following the sidecar's natural (slot, i) blocks: a prefix
+    # over the NG = maxt*8 group totals (tiny), then per-record group
+    # search + an in-group lane prefix — no R-length (4M) cumsum or
+    # searchsorted ever materializes.
+    cnt_g = ocnts[:, :, :C].reshape(NG, C)
+    cnt_g = jnp.where(jnp.arange(NG)[:, None] // 8 < count, cnt_g, 0)
+    g_tot = jnp.sum(cnt_g, axis=1)  # (NG,)
+    g_offs = jnp.cumsum(g_tot)
+    nrec = g_offs[NG - 1]
     r = jnp.arange(cap, dtype=jnp.int32)
-    row_r = jnp.searchsorted(coffs, r + 1, side="left").astype(jnp.int32)
-    row_rc = jnp.clip(row_r, 0, R - 1)
+    gi = jnp.searchsorted(g_offs, r + 1, side="left").astype(jnp.int32)
+    gic = jnp.clip(gi, 0, NG - 1)
+    g_prev = jnp.where(gic > 0, g_offs[jnp.clip(gic - 1, 0, None)], 0)
+    grank = r + 1 - g_prev  # 1-based rank within the group
+    crow = cnt_g[gic]  # (cap, C) gather of per-row counts
+    ccum = jnp.cumsum(crow, axis=1)
+    gpos = jnp.sum((ccum < grank[:, None]).astype(jnp.int32), axis=1)
+    gposc = jnp.clip(gpos, 0, C - 1)
+    row_prev = jnp.where(
+        gposc > 0,
+        jnp.take_along_axis(ccum, jnp.clip(gposc - 1, 0, None)[:, None],
+                            axis=1)[:, 0], 0)
+    rank = grank - row_prev  # 1-based rank within the row
+    row_rc = (gic // 8) * WS + (gic % 8) * C + gposc
     sel = rows[row_rc]  # (cap, 128) — the only read of the tile buffer
     rowcum = jnp.cumsum((sel != 0).astype(jnp.int32), axis=1)
-    prev = jnp.where(row_rc > 0, coffs[jnp.clip(row_rc - 1, 0, None)], 0)
-    rank = r + 1 - prev  # 1-based rank of this record within its row
     lane = jnp.sum((rowcum < rank[:, None]).astype(jnp.int32), axis=1)
     lanec = jnp.clip(lane, 0, 127)
     words = jnp.take_along_axis(sel, lanec[:, None], axis=1)[:, 0]

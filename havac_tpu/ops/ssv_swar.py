@@ -223,7 +223,6 @@ def _ssv_swar_body(
         # state words have bits 30-31 clear, so >> 20 is exactly field 2.
         tail = state[WS - 1, 127] >> 20
         carry_ref[wslot, j + 1] = tail
-        ocarry_ref[j + 1] = tail  # every block writes; last block wins
 
         if (k + 1) % ROWS_PER_FLUSH == 0:
             flush = k // ROWS_PER_FLUSH
@@ -262,6 +261,17 @@ def _ssv_swar_body(
             bits = jnp.zeros_like(state)
 
     state_ref[:] = state
+
+    @pl.when(b == B - 1)
+    def _emit_carry():
+        # The kernel-level output carry is the LAST block's right edge;
+        # copying it from the queue once per strip (scalar loop, off the
+        # hot path) replaces a per-row SMEM store on every block.
+        def body(k, _):
+            ocarry_ref[j0 + k + 1] = carry_ref[wslot, j0 + k + 1]
+            return 0
+
+        jax.lax.fori_loop(0, K, body, 0)
 
     @pl.when(s == S - 1)
     def _emit_state():
