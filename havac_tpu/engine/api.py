@@ -369,6 +369,7 @@ class Havac:
                 if path is None:
                     raise db  # producer exception
                 self.database = db
+                self._warm_sweep = None  # a warmed sweep staged other codes
                 if self.strand == "both":
                     self._n_forward = db._n_forward
                 self.run()

@@ -88,6 +88,15 @@ class _MaybeTrace:
         return False
 
 
+def _write_hits_tsv(engine, hits, out) -> None:
+    out.write("#sequence\tseq_position\tmodel\tmodel_position\tstrand\n")
+    names = engine.database.names
+    models = engine.models
+    for si, sp, mi, mp, st in hits.as_tuples_stranded():
+        label = models[mi].accession or models[mi].name
+        out.write(f"{names[si]}\t{sp}\t{label}\t{mp}\t{st}\n")
+
+
 def cmd_search(args) -> int:
     engine = _build_engine(args)
     engine.load_phmm(args.hmm)
@@ -98,13 +107,7 @@ def cmd_search(args) -> int:
 
     out = open(args.out, "w") if args.out != "-" else sys.stdout
     try:
-        out.write("#sequence\tseq_position\tmodel\tmodel_position\tstrand\n")
-        names = engine.database.names
-        models = engine.models
-        for si, sp, mi, mp, st in hits.as_tuples_stranded():
-            model = models[mi]
-            label = model.accession or model.name
-            out.write(f"{names[si]}\t{sp}\t{label}\t{mp}\t{st}\n")
+        _write_hits_tsv(engine, hits, out)
     finally:
         if out is not sys.stdout:
             out.close()
@@ -239,7 +242,9 @@ def cmd_serve(args) -> int:
           flush=True)
     for line in sys.stdin:
         line = line.strip()
-        if not line or line == "quit":
+        if not line:
+            continue  # stray blank lines must not kill a warm server
+        if line == "quit":
             break
         path, _, out_path = line.partition("\t")
         out_path = out_path or (path + ".hits.tsv")
@@ -249,13 +254,7 @@ def cmd_serve(args) -> int:
             engine.run()
             hits = engine.hits()
             with open(out_path, "w") as out:
-                out.write("#sequence\tseq_position\tmodel\tmodel_position"
-                          "\tstrand\n")
-                names = engine.database.names
-                models = engine.models
-                for si, sp, mi, mp, st in hits.as_tuples_stranded():
-                    label = models[mi].accession or models[mi].name
-                    out.write(f"{names[si]}\t{sp}\t{label}\t{mp}\t{st}\n")
+                _write_hits_tsv(engine, hits, out)
             print(json.dumps({
                 "file": path, "out": out_path, "hits": len(hits),
                 "raw_hits": engine.stats.num_raw_hits,

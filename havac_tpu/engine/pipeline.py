@@ -186,6 +186,9 @@ class PipelinedSweep:
         self.prof: Dict[str, float] = {
             "dispatch": 0.0, "gate_wait": 0.0, "drain": 0.0,
             "pull": 0.0, "decode": 0.0}
+        import threading as _threading
+
+        self._prof_lock = _threading.Lock()  # decode accrues from workers
         self.tile_budget_bytes = config.tile_budget_bytes
 
         if config.packing == 3:
@@ -288,7 +291,10 @@ class PipelinedSweep:
             maxt = self._chunk_maxt()
             WS_t = self._tile_words // 128
             otiles = jnp.zeros((maxt, WS_t, 128), jnp.int32)
-            ocnts = jnp.zeros((maxt, 8, 128), jnp.int32)
+            # The SWAR kernel pads the sidecar's lane dim to 128; the
+            # unpacked path's reduction emits exactly WS_t // 8.
+            ocnts_c = 128 if self.cfg.packing == 3 else WS_t // 8
+            ocnts = jnp.zeros((maxt, 8, ocnts_c), jnp.int32)
             ometa = jnp.zeros((maxt,), jnp.int32)
             packed = self._compact(otiles, ocnts, ometa,
                                    jnp.zeros((), jnp.int32),
@@ -367,7 +373,8 @@ class PipelinedSweep:
             rows, pos = decode_flat_records(ids, word_idx, words, S, self.W,
                                             self.K)
         keep = (rows < Pc) & (pos < Lc)
-        self.prof["decode"] += time.perf_counter() - t_decode
+        with self._prof_lock:
+            self.prof["decode"] += time.perf_counter() - t_decode
         return rows[keep] + r0, pos[keep] + lo
 
     # ----------------------------------------------------------------- run

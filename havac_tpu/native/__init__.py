@@ -194,10 +194,21 @@ def decode_swar_flat_native(tile_ids, word_idx, words, num_strips: int,
     return rows[:m].copy(), pos[:m].copy()
 
 
+# The native composite sort key is (row << 38) | pos; beyond these bounds
+# the key would overlap fields, so wrappers fall back to the numpy paths
+# (which switch to np.lexsort themselves) instead of mis-sorting.
+_MAX_KEY_ROW = 1 << 25
+_MAX_KEY_POS = 1 << 38
+
+
 def sort_hits_native(rows, pos, nthreads: int = 8) -> bool:
-    """In-place parallel (row, position) sort; False when unavailable."""
+    """In-place parallel (row, position) sort; False when unavailable or
+    when the composite key would overflow (caller falls back to numpy)."""
     lib = _load()
     if lib is None:
+        return False
+    if rows.size and (int(rows.max()) >= _MAX_KEY_ROW
+                      or int(pos.max()) >= _MAX_KEY_POS):
         return False
     assert rows.dtype == np.int64 and pos.dtype == np.int64
     assert rows.flags.c_contiguous and pos.flags.c_contiguous

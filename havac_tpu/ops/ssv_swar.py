@@ -304,6 +304,11 @@ def _ssv_swar_jit(
     S, K, _ = scores_strips.shape
     rows1 = icarry.shape[0]
     maxt = max_hit_tiles
+    if WS % 8 or WS // 8 > 128:
+        raise ValueError(
+            f"WS={WS} unsupported: the count sidecar stages (8, WS/8) "
+            "blocks in one 128-lane tile, so WS must be a multiple of 8 "
+            "and at most 1024 (block_width <= 393216)")
 
     grid = (B, S)
     kernel = functools.partial(_ssv_swar_kernel, K=K, WS=WS, isolate=isolate,
@@ -434,6 +439,11 @@ def ssv_swar(
     W = block_width
     if W % 3072:
         raise ValueError("block_width must be a multiple of 3072")
+    if W > 393216:
+        raise ValueError(
+            "block_width must be <= 393216: the kernel's count sidecar "
+            "stages (8, WS/8) blocks in a 128-lane tile (use more blocks "
+            "instead of wider ones; throughput is flat in B)")
     W3 = W // 3
     WS = W3 // 128
     K = ROWS_PER_STRIP

@@ -142,14 +142,22 @@ def stage_from_full(value: np.ndarray, sharding):
         value.shape, sharding, arrays)
 
 
+_ZEROS_FNS = {}
+
+
 def device_zeros(shape, dtype, sharding):
     """Sharded all-zeros array materialized directly on device (no host
-    copy, multi-host safe)."""
+    copy, multi-host safe). The jitted builder is cached per
+    (shape, dtype, sharding) — a fresh jit per call would pay a remote
+    compile on every distributed run on this rig."""
     import jax
     import jax.numpy as jnp
 
-    fn = jax.jit(lambda: jnp.zeros(shape, dtype), out_shardings=sharding)
-    return fn()
+    key = (tuple(shape), jnp.dtype(dtype).name, sharding)
+    if key not in _ZEROS_FNS:
+        _ZEROS_FNS[key] = jax.jit(lambda: jnp.zeros(shape, dtype),
+                                  out_shardings=sharding)
+    return _ZEROS_FNS[key]()
 
 
 _RECORD_MAX_FNS = {}
@@ -193,8 +201,7 @@ def global_record_max_many(packeds_list, mesh):
         _RECORD_MAX_FNS[key] = jax.jit(
             lambda p, m: jnp.maximum(m, jnp.max(p[..., :1])),
             out_shardings=rep)
-    m = jax.jit(lambda: jnp.zeros((), jnp.int32),
-                out_shardings=NamedSharding(mesh, PartitionSpec()))()
+    m = device_zeros((), jnp.int32, NamedSharding(mesh, PartitionSpec()))
     for p in packeds_list:
         m = _RECORD_MAX_FNS[key](p, m)
     return np.asarray(m)

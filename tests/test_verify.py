@@ -148,3 +148,33 @@ def test_engine_verify_detects_corruption():
     with pytest.raises(HitVerificationError):
         engine2.run()
     assert engine2.state == HavacRunState.ERROR
+
+
+def test_mid_window_true_reset_cannot_fake_a_hit():
+    """A bogus endpoint hit whose diagonal had a TRUE >=256 reset inside the
+    replay window must be rejected: a one-sided replay-from-0 would reach
+    >=256 at the endpoint (the true chain reset to 0 mid-window while the
+    low replay kept climbing) and falsely accept it. The two-sided replay
+    escalates through the ambiguity and decides exactly."""
+    P, L = 1010, 2000
+    symbols = np.zeros(L, dtype=np.uint8)
+    scores = np.zeros((P, 4), dtype=np.int8)
+    scores[:100, 0] = 2      # true incoming state builds to 200...
+    scores[940, 0] = 60      # ...and truly resets at row 940 (260 >= 256)
+    scores[941:1000, 0] = 3  # 59 x 3 = 177
+    scores[1000, 0] = 23     # replay-from-0: 60+177+23 = 260 >= 256 (fake!)
+    # true endpoint: 0 + 177 + 23 = 200 < 256 -> NOT a hit
+    pos0 = 1500
+    bogus = (1000, pos0)
+    true_hit = (940, pos0 - 60)
+    rows = np.array([bogus[0], true_hit[0]], dtype=np.int64)
+    positions = np.array([bogus[1], true_hit[1]], dtype=np.int64)
+    rep = verify_hits(rows, positions, symbols, scores, initial_bound=64)
+    assert rep.num_verified == 1
+    assert list(rep.unverified_indices) == [0]  # the bogus one
+    assert rep.reached[1] >= 256  # the true reset cell verifies
+
+    # cross-check both cells against the oracle
+    res, _ = ssv_reference(symbols, scores)
+    oracle = set(zip(res.hit_rows.tolist(), res.hit_positions.tolist()))
+    assert true_hit in oracle and bogus not in oracle
