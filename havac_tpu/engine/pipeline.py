@@ -12,7 +12,7 @@ chunk is the hit-count scalar and the dirty tiles actually produced.
 Chunk geometry is clamped so the dirty-tile buffer covers the worst case
 (every tile dirty) within a fixed HBM budget — tile overflow is impossible by
 construction. Hit records are compacted on device and cross to the host as
-one packed array per chunk; the record/group caps adapt (re-running only the
+one packed array per chunk; the record cap adapts (re-running only the
 cheap compaction step) when a chunk is unusually hit-dense.
 """
 

@@ -2,8 +2,8 @@
 
 `parallel/engine_dist.py` proves exact sequence sharding with an XLA-scan
 inner kernel; this module runs the same wavefront with the *Pallas SWAR
-kernel* per shard, so each chip sweeps at full kernel speed (~457 GCUPS on
-v5e) while seams cost one (R+1)-int `ppermute` per row chunk.
+kernel* per shard, so each chip sweeps at full kernel speed (~775 GCUPS
+sustained on v5e) while seams cost one (R+1)-int `ppermute` per row chunk.
 
 Wavefront over row chunks of R rows: at scan step t, device k sweeps row
 chunk s = t − k over its whole shard with one Pallas dispatch (grid =
@@ -13,8 +13,8 @@ receiver's `icarry` is exactly the arriving seam, no stagger bookkeeping.
 Row state chains on device between steps as the kernel's packed ostate.
 
 Hit tiles are compacted to records *inside the scan step* (the same
-two-level reduction as the engine pipeline), so the stacked per-step output
-is a small packed record vector, not gigabytes of bitmap tiles.
+count-sidecar compaction as the engine pipeline), so the stacked per-step
+output is a small packed record vector, not gigabytes of bitmap tiles.
 """
 
 from __future__ import annotations

@@ -140,3 +140,16 @@ def test_matches_oracle_on_planted_fixture():
                          pad_multiple=BW)
     scores = project_models(models, p_value=0.02)
     check_against_oracle(db.codes, scores)
+
+
+def test_block_width_cap_rejected():
+    """Widths whose count sidecar would overflow its 128-lane staging tile
+    are rejected with a clear error (use more blocks, not wider ones)."""
+    import pytest
+
+    from havac_tpu.ops.ssv_swar import ssv_swar
+
+    with pytest.raises(ValueError, match="block_width must be <= 393216"):
+        ssv_swar(np.zeros(396288, dtype=np.uint8),
+                 np.zeros((30, 4), dtype=np.int8), block_width=396288,
+                 interpret=True)

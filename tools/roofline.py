@@ -215,11 +215,11 @@ def make_variant(name: str, WS: int, K: int, interpret: bool = False):
                                       col0, pos00, cin)
                     if perrow:
                         # The shipping kernel's per-row scalar side
-                        # (`ops/ssv_swar.py:221-223`): vector→scalar tail
-                        # extract + two SMEM stores.
+                        # (`ops/ssv_swar.py` hot loop): vector→scalar tail
+                        # extract + the carry-queue SMEM store (the output
+                        # carry moved to a per-strip epilogue in round 2).
                         tail = state[WS - 1, 127] >> 20
                         q_ref[wslot, k + 1] = tail
-                        oc_ref[k + 1] = tail
                     if (k + 1) % ROWS_PER_FLUSH == 0:
                         acc = acc ^ bits  # keep the hit ops live
                         bits = jnp.zeros_like(state)
