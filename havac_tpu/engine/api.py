@@ -193,6 +193,8 @@ class Havac:
         self._error: Optional[BaseException] = None
         self._hit_rows = np.empty(0, dtype=np.int64)
         self._hit_positions = np.empty(0, dtype=np.int64)
+        self._raw_sorted = True
+        self._resolved = None  # pool-resolved table (pipelined path)
         self._chunks_done = 0
         self._chunks_total = 0
         self.stats = RunStats()
@@ -293,6 +295,7 @@ class Havac:
 
     def _build_pipelined_sweep(self):
         from havac_tpu.engine.pipeline import PipelinedSweep
+        from havac_tpu.hits.decode import resolve_block_with_keys
 
         cfg = self.config
         if self.backend == "pallas_interpret" and not cfg.interpret:
@@ -302,8 +305,17 @@ class Havac:
         if codes.shape[0] % W:
             codes = np.pad(codes,
                            (0, round_up(codes.shape[0], W) - codes.shape[0]))
+        # Per-chunk resolution in the collector pool (overlaps the device
+        # sweep; single-threaded numpy per chunk — the pool provides the
+        # parallelism, and workers must stay jax-free).
+        db, prefix = self.database, self.phmm_prefix
+
+        def resolve_fn(rows, pos):
+            return resolve_block_with_keys(rows, pos, db, prefix)
+
         return PipelinedSweep(codes, self.scores, cfg, self.chunk_symbols,
-                              self.chunk_rows, reset_rows=self.reset_rows)
+                              self.chunk_rows, reset_rows=self.reset_rows,
+                              resolve_fn=resolve_fn)
 
     def scan_files(self, fasta_paths: Sequence[str], prefetch: int = 1):
         """Streaming scan over many FASTA files (BASELINE config 5).
@@ -419,6 +431,8 @@ class Havac:
         self._error = None
         self._hit_rows = np.empty(0, dtype=np.int64)
         self._hit_positions = np.empty(0, dtype=np.int64)
+        self._raw_sorted = True
+        self._resolved = None
         self._chunks_done = 0
         self.stats = RunStats()
         self._thread = threading.Thread(target=self._run_loop, daemon=True)
@@ -441,8 +455,16 @@ class Havac:
 
     def raw_hits(self) -> Tuple[np.ndarray, np.ndarray]:
         """Unresolved global (phmm_row, sequence_position) hit coordinates —
-        the analog of the device's u64 hit records before host decode."""
+        the analog of the device's u64 hit records before host decode.
+        Sorted by (row, position); the sort is lazy (first query) on the
+        pipelined path, whose hot loop no longer needs ordered raw hits."""
         self._require_completed()
+        if not self._raw_sorted:
+            from havac_tpu.ops.common import sort_hit_pairs
+
+            self._hit_rows, self._hit_positions = sort_hit_pairs(
+                self._hit_rows, self._hit_positions)
+            self._raw_sorted = True
         return self._hit_rows, self._hit_positions
 
     def hits(self) -> ResolvedHits:
@@ -452,8 +474,12 @@ class Havac:
         minus-strand hits are reported in forward coordinates with
         strand '-'."""
         self._require_completed()
-        resolved = resolve_hits(self._hit_rows, self._hit_positions,
-                                self.database, self.phmm_prefix)
+        if self._resolved is not None:
+            # Pipelined runs resolve in the collector pool during the sweep.
+            resolved = self._resolved
+        else:
+            resolved = resolve_hits(self._hit_rows, self._hit_positions,
+                                    self.database, self.phmm_prefix)
         if self.strand == "both":
             n = self._n_forward
             minus = resolved.sequence_index >= n
@@ -679,7 +705,11 @@ class Havac:
                 with self._state_lock:
                     self._state = HavacRunState.ABORTED
                 return
-            self._hit_rows, self._hit_positions, t_sweep = result
+            self._hit_rows, self._hit_positions, resolved, t_sweep = result
+            # Raw hits come back unsorted when the pool resolved them
+            # chunk-by-chunk; sort lazily on the first raw_hits() query.
+            self._raw_sorted = resolved is None
+            self._resolved = resolved
             self.stats.num_chunks = self._chunks_total
             self.stats.cells = sweep.L * self.scores.shape[0]
             self.stats.sweep_seconds = t_sweep
@@ -694,7 +724,8 @@ class Havac:
             with self._state_lock:
                 self._state = HavacRunState.ERROR
 
-    def _finish_distributed(self, rows, pos, P: int, t_sweep: float) -> None:
+    def _finish_distributed(self, rows, pos, P: int, t_sweep: float,
+                            prof: Optional[Dict[str, float]] = None) -> None:
         self._hit_rows = rows
         self._hit_positions = pos
         self._chunks_done = 1
@@ -702,6 +733,10 @@ class Havac:
         self.stats.cells = self.database.padded_length * P
         self.stats.sweep_seconds = t_sweep
         self.stats.num_raw_hits = int(rows.shape[0])
+        if prof is not None:
+            self.stats.pipeline_prof = dict(prof)
+            log.info("distributed phases (s): %s",
+                     {k: round(v, 3) for k, v in prof.items()})
         self._maybe_verify()
         with self._state_lock:
             self._state = HavacRunState.COMPLETED
@@ -750,15 +785,18 @@ class Havac:
                     return
                 rows, pos = result
                 self._finish_distributed(rows, pos, P,
-                                         time.perf_counter() - t0)
+                                         time.perf_counter() - t0,
+                                         prof=getattr(sweep2d, "prof", None))
                 return
 
             if is_swar:
                 # Production path: Pallas SWAR kernel per shard inside the
-                # shard_map wavefront (parallel/swar_dist.py). Falls back to
-                # the XLA wavefront when the shard geometry exceeds the tile
-                # budget (very large per-chip databases need column chunking,
-                # which only the XLA path does today).
+                # shard_map wavefront (parallel/swar_dist.py), which handles
+                # arbitrarily large per-chip shards itself via per-step
+                # column chunking. The XLA wavefront below remains only as a
+                # guard for invalid SWAR geometry (block_width not a
+                # multiple of 3072 / rows_per_step not a multiple of 30 —
+                # possible only with a hand-built config).
                 from havac_tpu.parallel.swar_dist import SwarDistributedSweep
 
                 try:
@@ -782,19 +820,26 @@ class Havac:
                         self._chunks_total = total
                         self._chunks_done = step
 
+                    checkpoint_cb, resume, ck_path = (
+                        self._mesh_checkpoint_hooks(sweep, P))
                     t0 = time.perf_counter()
                     result = sweep.run(
                         scores, self.reset_rows,
                         abort_event=self._abort_event,
                         progress=dist_progress,
-                        monolithic=not self.dist_step_dispatch)
+                        monolithic=not self.dist_step_dispatch,
+                        checkpoint_cb=checkpoint_cb, resume=resume,
+                        ckpt_every=4)
                     if result is None:
                         with self._state_lock:
                             self._state = HavacRunState.ABORTED
                         return
                     rows, pos = result
+                    if ck_path and os.path.exists(ck_path):
+                        os.remove(ck_path)
                     self._finish_distributed(rows, pos, P,
-                                             time.perf_counter() - t0)
+                                             time.perf_counter() - t0,
+                                             prof=sweep.prof)
                     return
 
             if self.isolate_models:
@@ -848,6 +893,53 @@ class Havac:
             with self._state_lock:
                 self._state = HavacRunState.ERROR
 
+    def _mesh_checkpoint_hooks(self, sweep, P: int):
+        """(checkpoint_cb, resume, local_path) for the SWAR mesh path.
+
+        Wavefront-step-granularity checkpointing (VERDICT r2 #5): every
+        process persists ITS shards of the device-resident scan carry
+        (row state + seam) plus the hits it decoded, to
+        ``checkpoint_path[.pK]`` — a killed multi-host run resumes from the
+        per-host files with the same full-CRC fingerprint discipline as the
+        single-chip paths. Step-dispatch mode only (monolithic is one
+        uncancelable dispatch)."""
+        if not (self.checkpoint_path and self.dist_step_dispatch):
+            return None, None, None
+        import zlib
+
+        import jax
+
+        fp = self._fingerprint(self.database.padded_length, P,
+                               sweep.shard_width, sweep.R)
+        fp = zlib.crc32(
+            f"mesh:{sweep.D}:{self.mesh_axis}:{jax.process_count()}".encode(),
+            fp)
+        path = self.checkpoint_path
+        if jax.process_count() > 1:
+            path += f".p{jax.process_index()}"
+
+        resume = None
+        try:
+            with np.load(path) as ck:
+                if int(ck["fingerprint"]) == fp:
+                    resume = (int(ck["next_t"]), ck["istate"], ck["seam"],
+                              ck["hit_rows"], ck["hit_positions"])
+                    self.resumed_chunks = int(ck["next_t"])
+                    self._chunks_done = self.resumed_chunks
+        except (FileNotFoundError, KeyError, OSError, ValueError):
+            resume = None
+
+        def checkpoint_cb(t_next, il, ilo, sl, slo, rows_s, pos_s):
+            tmp = path + ".tmp"
+            np.savez(tmp, fingerprint=np.int64(fp), next_t=np.int64(t_next),
+                     istate=il, istate_lo=np.int64(ilo), seam=sl,
+                     seam_lo=np.int64(slo), hit_rows=rows_s,
+                     hit_positions=pos_s)
+            os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
+                       path)
+
+        return checkpoint_cb, resume, path
+
     def _dist_rows_per_step_swar(self) -> int:
         """Rows per wavefront step for the SWAR distributed path, sized so
         the per-step tile count fits the tile budget on each shard."""
@@ -874,8 +966,15 @@ class Havac:
         h = zlib.crc32(self.scores.tobytes())
         # Full-database CRC: a prefix hash would silently resume a stale
         # checkpoint after an edit beyond the prefix (same padded length).
-        # crc32 over even a multi-GB array is milliseconds vs a resumable run.
-        h = zlib.crc32(np.ascontiguousarray(self.database.codes), h)
+        # zlib.crc32 runs ~0.5-1.5 GB/s single-threaded, so this costs
+        # seconds per GB — but only on checkpointed runs (opt-in, and those
+        # are the long ones), and only once per loaded database: the digest
+        # is cached on the database object across runs of a warm engine.
+        db_crc = getattr(self.database, "_codes_crc32", None)
+        if db_crc is None:
+            db_crc = zlib.crc32(np.ascontiguousarray(self.database.codes))
+            self.database._codes_crc32 = db_crc
+        h = zlib.crc32(db_crc.to_bytes(4, "little"), h)
         h = zlib.crc32(
             np.asarray([L, P, chunk, rchunk, self.database.padded_length],
                        dtype=np.int64).tobytes(), h)

@@ -27,20 +27,6 @@ from havac_tpu.ops.common import (SsvKernelConfig, round_up,
                                   sort_hit_pairs)
 
 
-def _nonzero_capped(x, cap: int):
-    """Indices of the first ``cap`` nonzero elements (−1 fill), via
-    cumsum+searchsorted — ~5× faster than jnp.nonzero(size=cap) on TPU."""
-    import jax.numpy as jnp
-
-    n = x.shape[0]
-    pos = jnp.cumsum((x != 0).astype(jnp.int32))
-    idx = jnp.searchsorted(pos, jnp.arange(1, cap + 1, dtype=jnp.int32),
-                           side="left")
-    idxc = jnp.clip(idx, 0, n - 1)
-    ok = jnp.logical_and(idx < n, x[idxc] != 0)
-    return jnp.where(ok, idxc, -1)
-
-
 def _get_compact_jit():
     global _COMPACT_JIT
     if _COMPACT_JIT is None:
@@ -147,11 +133,54 @@ def _compact_tiles_impl(otiles, ocnts, ometa, count, cap: int):
 
 
 def _concat_results(results):
-    rows = ([r for r, _ in results if r.size]
+    rows = ([r for _, r, _, _ in results if r.size]
             or [np.empty(0, dtype=np.int64)])
-    pos = ([p for _, p in results if p.size]
+    pos = ([p for _, _, p, _ in results if p.size]
            or [np.empty(0, dtype=np.int64)])
     return np.concatenate(rows), np.concatenate(pos)
+
+
+def _merge_group(parts):
+    """Sort one row-chunk group's (ResolvedHits, kept_rows, kept_pos) parts
+    by raw (row, position) key — pure numpy, collector-pool work item."""
+    from havac_tpu.hits.decode import ResolvedHits, concat_hits
+    from havac_tpu.ops.common import hit_sort_order
+
+    krows = [r for _, r, _ in parts if r.size]
+    if not krows:
+        return None
+    rows = np.concatenate(krows)
+    pos = np.concatenate([p for _, _, p in parts if p.size])
+    order = hit_sort_order(rows, pos)
+    merged = concat_hits([t for t, _, _ in parts])
+    return ResolvedHits(
+        sequence_index=merged.sequence_index[order],
+        sequence_position=merged.sequence_position[order],
+        phmm_index=merged.phmm_index[order],
+        phmm_position=merged.phmm_position[order],
+    )
+
+
+def _concat_resolved(results, n_row, pool):
+    """Merge per-chunk (ri, rows, pos, (ResolvedHits, kept_rows, kept_pos))
+    entries into one globally (row, position)-sorted table.
+
+    Row-chunk groups cover disjoint row ranges, so each group sorts
+    independently (fanned out on the collector pool — np.argsort releases
+    the GIL and this VM's thread pools reach ~8×) and the groups
+    concatenate in ri order already globally sorted."""
+    from havac_tpu.hits.decode import ResolvedHits, concat_hits
+
+    groups = [[] for _ in range(n_row)]
+    for ri, _, _, res in results:
+        if res is not None:
+            groups[ri].append(res)
+    futs = [pool.submit(_merge_group, g) for g in groups if g]
+    merged = [f.result() for f in futs]
+    merged = [m for m in merged if m is not None]
+    if not merged:
+        return ResolvedHits(*(np.empty(0, dtype=np.int64),) * 4)
+    return concat_hits(merged)
 
 
 class PipelinedSweep:
@@ -159,7 +188,8 @@ class PipelinedSweep:
 
     def __init__(self, codes: np.ndarray, scores: np.ndarray,
                  config: SsvKernelConfig, chunk_symbols: int,
-                 chunk_rows: int, reset_rows: np.ndarray = None) -> None:
+                 chunk_rows: int, reset_rows: np.ndarray = None,
+                 resolve_fn=None) -> None:
         import jax
         import jax.numpy as jnp
 
@@ -182,10 +212,17 @@ class PipelinedSweep:
         #   pull        — fetching packed records (main thread; ~0.3 ms
         #                 when the async D2H prefetch has landed)
         #   decode      — collectors decoding records to (row, pos)
+        #   resolve     — collectors resolving chunk hits to local coords
+        #                 (overlapped with the device sweep; the reference
+        #                 resolves serially after the run, Havac.cpp:145-187)
         #   drain       — final drain (tail pulls + decodes)
         self.prof: Dict[str, float] = {
             "dispatch": 0.0, "gate_wait": 0.0, "drain": 0.0,
-            "pull": 0.0, "decode": 0.0}
+            "pull": 0.0, "decode": 0.0, "resolve": 0.0}
+        # Per-chunk resolution in the collector pool: resolve_fn(rows, pos)
+        # -> (ResolvedHits, kept_rows, kept_pos). None = caller resolves
+        # after the run (serial tail).
+        self._resolve_fn = resolve_fn
         import threading as _threading
 
         self._prof_lock = _threading.Lock()  # decode accrues from workers
@@ -355,7 +392,8 @@ class PipelinedSweep:
         r0 = ri * self.rchunk
         Pc = min(self.P, r0 + self.rchunk) - r0
         if n == 0:
-            return (np.empty(0, dtype=np.int64),) * 2
+            return self._finish_chunk(ri, np.empty(0, dtype=np.int64),
+                                      np.empty(0, dtype=np.int64), t_decode)
         mt = packed.shape[0] - 1 - 2 * cap
         ometa_np = packed[1:1 + mt]
         idx = packed[1 + mt:1 + mt + n].astype(np.int64)
@@ -373,17 +411,33 @@ class PipelinedSweep:
             rows, pos = decode_flat_records(ids, word_idx, words, S, self.W,
                                             self.K)
         keep = (rows < Pc) & (pos < Lc)
+        return self._finish_chunk(ri, rows[keep] + r0, pos[keep] + lo,
+                                  t_decode)
+
+    def _finish_chunk(self, ri: int, rows: np.ndarray, pos: np.ndarray,
+                      t_decode: float):
+        """Collector-pool tail of one chunk: account decode time, then (when
+        a resolver is installed) resolve this chunk's hits to local
+        coordinates while the device sweeps later chunks."""
+        t_resolve = time.perf_counter()
+        res = None
+        if self._resolve_fn is not None:
+            res = self._resolve_fn(rows, pos)
+        t_end = time.perf_counter()
         with self._prof_lock:
-            self.prof["decode"] += time.perf_counter() - t_decode
-        return rows[keep] + r0, pos[keep] + lo
+            self.prof["decode"] += t_resolve - t_decode
+            self.prof["resolve"] += t_end - t_resolve
+        return ri, rows, pos, res
 
     # ----------------------------------------------------------------- run
 
     def run(self, abort_event=None, progress=None, lookahead: int = 3,
             checkpoint_cb=None, resume=None
             ) -> Optional[Tuple[np.ndarray, np.ndarray, float]]:
-        """Full pipelined sweep; returns (rows, positions, sweep_seconds) or
-        None if aborted.
+        """Full pipelined sweep; returns (rows, positions, resolved,
+        sweep_seconds) or None if aborted. ``resolved`` is the globally
+        sorted ResolvedHits table when a ``resolve_fn`` is installed (raw
+        rows/positions are then returned unsorted), else None.
 
         Up to ``lookahead`` chunks are in flight. Per chunk the main loop
         dispatches the kernel + record compaction and schedules the packed
@@ -413,7 +467,17 @@ class PipelinedSweep:
             start_ci, carries, rows0, pos0 = resume
             for ri in range(self.n_row):
                 prev_col_carry[ri] = jnp.asarray(carries[ri])
-            results.append((rows0, pos0))
+            # Checkpoint payloads span every row chunk; split them back into
+            # per-ri entries so the drain-time group merge stays disjoint.
+            gidx = np.minimum(rows0 // self.rchunk, self.n_row - 1)
+            for ri in range(self.n_row):
+                m = gidx == ri
+                if not m.any() and ri:
+                    continue
+                rs, ps = rows0[m], pos0[m]
+                res0 = (self._resolve_fn(rs, ps)
+                        if self._resolve_fn is not None else None)
+                results.append((ri, rs, ps, res0))
             done = start_ci * self.n_row
 
         import threading
@@ -503,8 +567,17 @@ class PipelinedSweep:
             results += [f.result() for f in futures]
             self.prof["drain"] += time.perf_counter() - t_drain
 
-        t_tail = time.perf_counter()
-        rows, pos = _concat_results(results)
-        rows, pos = sort_hit_pairs(rows, pos)
-        self.prof["tail_sort"] = time.perf_counter() - t_tail
-        return rows, pos, time.perf_counter() - t_start
+            t_tail = time.perf_counter()
+            rows, pos = _concat_results(results)
+            resolved = None
+            if self._resolve_fn is not None:
+                # Chunks were resolved in the collector pool as the device
+                # swept; the tail fans per-row-chunk group sorts (disjoint
+                # row ranges) across the pool. Raw (rows, pos) stay UNSORTED
+                # here — the engine sorts them lazily if raw_hits() is ever
+                # queried.
+                resolved = _concat_resolved(results, self.n_row, pool)
+            else:
+                rows, pos = sort_hit_pairs(rows, pos)
+            self.prof["tail_sort"] = time.perf_counter() - t_tail
+        return rows, pos, resolved, time.perf_counter() - t_start

@@ -197,6 +197,18 @@ def resolve_hits(
 
 def _resolve_block(hit_rows, hit_positions, sequence_db, phmm_prefix_sums
                    ) -> ResolvedHits:
+    resolved, _, _ = resolve_block_with_keys(hit_rows, hit_positions,
+                                             sequence_db, phmm_prefix_sums)
+    return resolved
+
+
+def resolve_block_with_keys(
+    hit_rows, hit_positions, sequence_db, phmm_prefix_sums
+) -> Tuple[ResolvedHits, np.ndarray, np.ndarray]:
+    """Single-threaded resolution that also returns the kept hits' raw
+    (row, position) keys, so callers resolving chunk-by-chunk (the pipelined
+    engine's collector pool) can globally order the concatenated table with
+    one composite-key argsort at drain time."""
     seq_idx, seq_pos, valid = sequence_db.global_to_local(hit_positions)
 
     prefix = np.asarray(phmm_prefix_sums, dtype=np.int64)
@@ -206,12 +218,13 @@ def _resolve_block(hit_rows, hit_positions, sequence_db, phmm_prefix_sums
     model_pos = hit_rows - prefix[model_idx_clamped]
 
     keep = valid & in_range
-    return ResolvedHits(
+    resolved = ResolvedHits(
         sequence_index=seq_idx[keep],
         sequence_position=seq_pos[keep],
         phmm_index=model_idx_clamped[keep],
         phmm_position=model_pos[keep],
     )
+    return resolved, hit_rows[keep], hit_positions[keep]
 
 
 def decode_flat_records(

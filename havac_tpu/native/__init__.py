@@ -184,6 +184,14 @@ def decode_swar_flat_native(tile_ids, word_idx, words, num_strips: int,
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     ids = np.ascontiguousarray(tile_ids, dtype=np.int64)
     widx = np.ascontiguousarray(word_idx, dtype=np.int64)
+    # The native decode sorts with the same (row << 38) | pos composite key
+    # as hv_sort_hits; bound the decoded coordinates from the tile geometry
+    # (max row = strips·30, max pos < (max block + 1)·3·block_words) and
+    # fall back to numpy (which guards itself) rather than mis-sort.
+    max_row = num_strips * 30
+    max_pos = (int(ids.max()) // 3 // max(num_strips, 1) + 1) * 3 * block_words
+    if max_row >= _MAX_KEY_ROW or max_pos >= _MAX_KEY_POS:
+        return None
     w = np.ascontiguousarray(words).view(np.uint32)
     rows = np.empty(30 * n, dtype=np.int64)
     pos = np.empty(30 * n, dtype=np.int64)

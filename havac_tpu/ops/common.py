@@ -18,7 +18,10 @@ def hit_sort_order(rows, positions):
     if rows.size == 0:
         return np.empty(0, dtype=np.int64)
     span = np.int64(positions.max()) + 1
-    if int(rows.max()) > (np.iinfo(np.int64).max // max(int(span), 1)):
+    # rows.max()*span + (span-1) must fit int64, hence the -(span-1) slack
+    # in the guard (a bare iinfo.max // span admits an off-by-one overflow).
+    limit = (np.iinfo(np.int64).max - int(span) + 1) // max(int(span), 1)
+    if int(rows.max()) > limit:
         return np.lexsort((positions, rows))  # pragma: no cover
     return np.argsort(rows * span + positions, kind="stable")
 

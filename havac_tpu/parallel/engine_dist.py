@@ -89,9 +89,18 @@ def make_engine_wavefront_fn(mesh: Mesh, axis: str, rows_per_step: int,
             wave_step, init, jnp.arange(T))
         mine = jax.lax.dynamic_slice(all_bitmaps, (k, 0, 0), (S, R // 32, L))
         flat = mine.reshape(S * (R // 32) * L)
-        (nz_idx,) = jnp.nonzero(flat, size=cap, fill_value=-1)
-        nz_words = jnp.where(nz_idx >= 0, flat[jnp.clip(nz_idx, 0, None)], 0)
-        count = jnp.sum((flat != 0).astype(jnp.int32))[None]
+        # First-``cap`` nonzero indices via cumsum+searchsorted (the repo's
+        # measured idiom: ~5× faster than jnp.nonzero(size=cap) on TPU).
+        n = flat.shape[0]
+        running = jnp.cumsum((flat != 0).astype(jnp.int32))
+        idx = jnp.searchsorted(running,
+                               jnp.arange(1, cap + 1, dtype=jnp.int32),
+                               side="left")
+        idxc = jnp.clip(idx, 0, n - 1)
+        ok = jnp.logical_and(idx < n, flat[idxc] != 0)
+        nz_idx = jnp.where(ok, idxc, -1)
+        nz_words = jnp.where(ok, flat[idxc], 0)
+        count = running[n - 1][None]
         return (row_state, saved[None], nz_idx.astype(jnp.int32), nz_words,
                 count)
 
