@@ -123,12 +123,12 @@ def _ssv_swar_body(
     ocnts_ref,  # (MAXT, 8, 128) int32, HBM (ANY) — per-sublane-row record
     #             counts: [slot, i, g] counts row i*(WS/8)+g (lane-padded)
     state_ref,  # (WS, 128) int32 VMEM
-    bits_ref,  # (WS, 128) int32 VMEM
+    bits_ref,  # (2, WS, 128) int32 VMEM — double-buffered DMA staging
     carry_ref,  # (2, ROWS1) int32 SMEM — the "score queue"
     ind_refs_1, ind_refs_2, ind_refs_3,  # (WS,128) int32 VMEM indicator planes
     cnt_ref,  # (1,) int32 SMEM
-    cntv_ref,  # (8, 128) int32 VMEM — count block staging for the DMA
-    dma_sem,
+    cntv_ref,  # (2, 8, 128) int32 VMEM — count-block staging for the DMA
+    dma_sem,  # (2, 2) DMA semaphores: [staging slot, tile|sidecar]
     reset_smem,  # (ROWS,) int32 SMEM or None
     *,
     K: int,
@@ -226,15 +226,31 @@ def _ssv_swar_body(
 
         if (k + 1) % ROWS_PER_FLUSH == 0:
             flush = k // ROWS_PER_FLUSH
-            bits_ref[:] = bits
             any_hit = jnp.any(bits != 0)
 
             @pl.when(any_hit)
             def _drain(flush=flush, bits=bits):
+                # Double-buffered drain: staging slot d alternates per dirty
+                # flush; the tile + sidecar copies started here are waited
+                # only when slot d comes around again (two dirty flushes
+                # later), so at dense hit rates the DMAs overlap the next
+                # 10 rows of compute instead of serializing the hot loop
+                # (the analog of the reference's DATAFLOW hit-drain FIFOs,
+                # `device/HitReporting.cpp:58-148`).
                 cnt = cnt_ref[0]
+                d = jax.lax.rem(cnt, 2)
                 slot = jnp.minimum(cnt, otiles_ref.shape[0] - 1)
-                dma = pltpu.make_async_copy(bits_ref, otiles_ref.at[slot], dma_sem)
-                dma.start()
+
+                @pl.when(cnt >= 2)
+                def _wait_prev():
+                    pltpu.make_async_copy(
+                        bits_ref.at[d], otiles_ref.at[slot],
+                        dma_sem.at[d, 0]).wait()
+                    pltpu.make_async_copy(
+                        cntv_ref.at[d], ocnts_ref.at[slot],
+                        dma_sem.at[d, 1]).wait()
+
+                bits_ref[d] = bits
                 # Per-sublane-row nonzero-word counts, computed while
                 # the bits are still in registers: the host-side
                 # compaction's prefix structure comes straight from this
@@ -247,20 +263,43 @@ def _ssv_swar_body(
                 counts = jnp.sum(
                     (bits.reshape(8, C, 128) != 0).astype(jnp.int32), axis=2)
                 if C != 128:
-                    cntv_ref[:, 0:C] = counts
+                    cntv_ref[d, :, 0:C] = counts
                 else:
-                    cntv_ref[:] = counts
-                dma.wait()
-                dma2 = pltpu.make_async_copy(cntv_ref, ocnts_ref.at[slot],
-                                             dma_sem)
-                dma2.start()
-                dma2.wait()
+                    cntv_ref[d] = counts
+                pltpu.make_async_copy(bits_ref.at[d], otiles_ref.at[slot],
+                                      dma_sem.at[d, 0]).start()
+                pltpu.make_async_copy(cntv_ref.at[d], ocnts_ref.at[slot],
+                                      dma_sem.at[d, 1]).start()
                 ometa_ref[slot] = (b * S + s) * nflush + flush
                 cnt_ref[0] = cnt + 1
 
             bits = jnp.zeros_like(state)
 
     state_ref[:] = state
+
+    @pl.when(jnp.logical_and(b == B - 1, s == S - 1))
+    def _drain_tail():
+        # The last one or two dirty flushes still have DMAs in flight
+        # (their waits would have run two dirty flushes later); semaphores
+        # must be drained before the kernel exits.
+        cnt = cnt_ref[0]
+        maxt = otiles_ref.shape[0]
+
+        def _wait_pair(c):
+            d = jax.lax.rem(c, 2)
+            slot = jnp.minimum(c, maxt - 1)
+            pltpu.make_async_copy(bits_ref.at[d], otiles_ref.at[slot],
+                                  dma_sem.at[d, 0]).wait()
+            pltpu.make_async_copy(cntv_ref.at[d], ocnts_ref.at[slot],
+                                  dma_sem.at[d, 1]).wait()
+
+        @pl.when(cnt >= 2)
+        def _():
+            _wait_pair(cnt - 2)
+
+        @pl.when(cnt >= 1)
+        def _():
+            _wait_pair(cnt - 1)
 
     @pl.when(b == B - 1)
     def _emit_carry():
@@ -357,14 +396,14 @@ def _ssv_swar_jit(
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((WS, 128), jnp.int32),  # state
-            pltpu.VMEM((WS, 128), jnp.int32),  # bits
+            pltpu.VMEM((2, WS, 128), jnp.int32),  # bits double-buffer
             pltpu.SMEM((2, rows1), jnp.int32),  # carry double-buffer
             pltpu.VMEM((WS, 128), jnp.int32),  # ind1
             pltpu.VMEM((WS, 128), jnp.int32),  # ind2
             pltpu.VMEM((WS, 128), jnp.int32),  # ind3
             pltpu.SMEM((1,), jnp.int32),  # tile count
-            pltpu.VMEM((8, 128), jnp.int32),  # count-block DMA staging
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 8, 128), jnp.int32),  # count-block DMA staging
+            pltpu.SemaphoreType.DMA((2, 2)),  # per-slot (tile, sidecar) sems
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
