@@ -127,6 +127,17 @@ def stage_sharded(local_rows: np.ndarray, sharding, global_rows: int):
         sharding, np.ascontiguousarray(local_rows), global_shape)
 
 
+def local_leading_slice(arr) -> Tuple[np.ndarray, int]:
+    """This process's contiguous leading-axis rows of a P(axis)-sharded
+    array, plus their global row offset — the host-resident form used by
+    mesh-path checkpoints (each process persists only the shards it owns;
+    :func:`stage_sharded` reassembles them on resume)."""
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    lo = shards[0].index[0].start or 0
+    return np.concatenate([np.asarray(s.data) for s in shards]), lo
+
+
 def stage_from_full(value: np.ndarray, sharding):
     """Global sharded array from a host-resident full copy: slice per
     addressable device and upload only the local shards

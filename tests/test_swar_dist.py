@@ -181,3 +181,41 @@ def test_swar_dist_progress_reports_steps():
     sweep.run(scores, progress=lambda step, total: seen.append((step, total)))
     T = 60 // 30 + 2 - 1
     assert seen == [(i + 1, T) for i in range(T)]
+
+
+def test_swar_dist_checkpoint_resume():
+    """Wavefront-step checkpoint/resume (VERDICT r2 #5): a sweep killed
+    mid-stream resumes from the last payload and produces the exact hits."""
+    rng = np.random.default_rng(21)
+    codes = rng.integers(0, 4, size=2 * 3072 * 4).astype(np.uint8)
+    scores = rng.integers(-40, 110, size=(150, 4)).astype(np.int8)  # T = 8
+    sweep = sweep_for(codes, 4)
+    payloads = []
+
+    def cb(t_next, il, ilo, sl, slo, rows, pos):
+        assert ilo == 0 and slo == 0  # single-process: local = global
+        payloads.append((t_next, il.copy(), sl.copy(), rows.copy(),
+                         pos.copy()))
+
+    ev = _AbortAfter(5)
+    assert sweep.run(scores, abort_event=ev, checkpoint_cb=cb,
+                     ckpt_every=2) is None
+    assert [p[0] for p in payloads] == [2, 4]
+    rows, pos = sweep.run(scores, resume=payloads[-1])
+    want, _ = ssv_reference(codes, scores)
+    assert len(want.hit_rows) > 0
+    np.testing.assert_array_equal(rows, want.hit_rows)
+    np.testing.assert_array_equal(pos, want.hit_positions)
+
+
+def test_swar_dist_phase_attribution():
+    """The mesh path reports per-phase timings like the pipelined path
+    (VERDICT r2 weak #4)."""
+    rng = np.random.default_rng(22)
+    codes = rng.integers(0, 4, size=2 * 3072 * 2).astype(np.uint8)
+    scores = rng.integers(-40, 110, size=(60, 4)).astype(np.int8)
+    sweep = sweep_for(codes, 2)
+    sweep.run(scores)
+    assert set(sweep.prof) == {"dispatch", "sync", "pull", "decode", "sort"}
+    assert sweep.prof["dispatch"] > 0
+    assert sweep.prof["sort"] > 0
