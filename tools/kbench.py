@@ -52,18 +52,25 @@ def time_differential(step, state0, *, n_lo=1, n_hi=9, iters=5):
 
 
 def bench_swar(B: int, P: int, W: int, max_hit_tiles: int = 512,
-               iters: int = 5) -> float:
+               iters: int = 5, dense: bool = False) -> float:
+    """``dense=True`` uses hit-rich scores (every strip flushes its tiles,
+    the engine's realistic p=0.02 regime) and sizes the tile buffer for it —
+    the regime where the kernel's hit-DMA overlap matters; the default
+    sparse scores measure pure compute."""
     import jax.numpy as jnp
 
     from havac_tpu.ops.ssv_swar import (
-        ROWS_PER_STRIP, _ssv_swar_jit, pack_symbols)
+        ROWS_PER_FLUSH, ROWS_PER_STRIP, _ssv_swar_jit, pack_symbols)
 
     W3 = W // 3
     L = B * W
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 4, size=L).astype(np.uint8)
-    scores = rng.integers(-40, 12, size=(P, 4)).astype(np.int8)
+    hi = 110 if dense else 12
+    scores = rng.integers(-40, hi, size=(P, 4)).astype(np.int8)
     S = P // ROWS_PER_STRIP
+    if dense:
+        max_hit_tiles = B * S * (ROWS_PER_STRIP // ROWS_PER_FLUSH)
     symw = jnp.asarray(pack_symbols(codes, W3))
     sc = jnp.asarray((scores.astype(np.int32) + 256)
                      .reshape(S, ROWS_PER_STRIP, 4))
@@ -117,17 +124,22 @@ def main():
                     help="unpacked kernel only (SWAR is fixed at 30)")
     ap.add_argument("--sweep-blocks", type=int, nargs="*", default=None,
                     help="bench each B in the list instead of one point")
+    ap.add_argument("--dense", action="store_true",
+                    help="hit-rich scores: every strip flushes its hit "
+                    "tiles (SWAR kernel only)")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
     blocks = args.sweep_blocks or [args.blocks]
     for B in blocks:
         if args.kernel == "swar":
-            g = bench_swar(B, args.rows, args.width, iters=args.iters)
+            g = bench_swar(B, args.rows, args.width, iters=args.iters,
+                           dense=args.dense)
         else:
             g = bench_unpacked(B, args.rows, args.width,
                                K=args.rows_per_strip, iters=args.iters)
-        print(f"{args.kernel} B={B:3d} W={args.width} P={args.rows}: "
+        print(f"{args.kernel} B={B:3d} W={args.width} P={args.rows}"
+              f"{' dense' if args.dense else ''}: "
               f"{g:8.1f} GCUPS", flush=True)
 
 

@@ -43,6 +43,14 @@ Variants:
               free position shift would buy.
   addonly   — irreducible dependent chain, 2 ops per "row": the VPU's raw
               dependent-op rate on this buffer size.
+  mulcost   — addonly with an int32 vector multiply in the chain: prices
+              one multiply slot (match construction spends 3 per row).
+  andmatch  — multiply-free match construction: full-field indicator masks
+              (precomputed per block) + biased deltas turn the three
+              per-field selects into ANDs; wins iff int32 multiply > 1 slot.
+  mxumatch / mxumatch8 — VERDICT-r2 #2: per-flush (10,4)×(4,3·WS·128)
+              dot_general on the MXU replacing match construction, repack
+              included (bf16→f32 / int8→int32).
   add16     — the same chain on int16 (2 elts/lane candidate).
   add8 / int8mix / int16mix — narrow-int probes; Mosaic's remote compiler
               crashes on int8/int16 fori_loop kernels on this rig (kept for
@@ -175,6 +183,40 @@ def make_variant(name: str, WS: int, K: int, interpret: bool = False):
         # add chain and a shift-xor chain were collapsed by the compiler).
         return (state + i1) ^ state, bits
 
+    def mix_mulcost(state, bits, i1, i2, i3, ms, k, col0, pos00, cin):
+        # addonly with the add replaced by an int32 vector multiply:
+        # (mulcost - addonly) prices one multiply slot — the match
+        # construction spends 3 of them per row.
+        return (state * i1) ^ state, bits
+
+    def mix_andmatch(state, bits, i1, i2, i3, ms, k, col0, pos00, cin):
+        # Multiply-free match construction: i1/i2/i3 arrive as FULL-FIELD
+        # masks (0x3FF per matching field, precomputed once per block) and
+        # the per-row deltas are biased non-negative (d+256 fits 9 bits), so
+        # the per-field select is AND instead of multiply; the 256 bias is
+        # removed by one subtract of the precomputed nonzero-indicator
+        # plane. Exact for the same reason the multiply form is: fields
+        # never borrow because every per-field partial is non-negative.
+        m0, m1, m2, m3 = ms[k]
+        fmv = jnp.int32(fm)
+        s1 = ((m1 - m0 + 256) & 0x3FF) * fmv
+        s2 = ((m2 - m0 + 256) & 0x3FF) * fmv
+        s3 = ((m3 - m0 + 256) & 0x3FF) * fmv
+        inz8 = ((i1 | i2 | i3) & jnp.int32(fm * 256))  # 256 per nz field
+        match = (m0 * fmv) + (i1 & s1) + (i2 & s2) + (i3 & s3) - inz8
+        rolled = pltpu.roll(state, 1, 1)
+        rolled_sub = pltpu.roll(rolled, 1, 0)
+        shifted = jnp.where(col0, rolled_sub, rolled)
+        stitch = (rolled_sub << 10) | cin
+        shifted = jnp.where(pos00, stitch, shifted)
+        w = shifted + match
+        t9 = w >> 9
+        hit = t9 & fmv
+        bits = (bits << 1) | hit
+        kmask = (w >> 8) & ~t9 & fmv
+        state = w & (kmask * 255)
+        return state, bits
+
     mixes = {
         "current": mix_current,
         "perrow": mix_current,  # + scalar/SMEM side, added in the kernel
@@ -182,6 +224,8 @@ def make_variant(name: str, WS: int, K: int, interpret: bool = False):
         "nomatch": mix_nomatch,
         "noroll": mix_noroll,
         "addonly": mix_addonly,
+        "mulcost": mix_mulcost,
+        "andmatch": mix_andmatch,
     }
 
     if name in mixes:
@@ -232,7 +276,10 @@ def make_variant(name: str, WS: int, K: int, interpret: bool = False):
 
         rng = np.random.default_rng(0)
         sym = rng.integers(0, 4, size=(WS, 128))
-        planes = [jax.numpy.asarray(((sym == a) * FMASK).astype(np.int32))
+        # andmatch consumes FULL-FIELD indicator masks (0x3FF per matching
+        # field); the other variants take bit-0 indicators.
+        pbit = 0x3FFFFFFF if name == "andmatch" else FMASK
+        planes = [jax.numpy.asarray(((sym == a) * pbit).astype(np.int32))
                   for a in (1, 2, 3)]
         scores = jax.numpy.asarray(
             rng.integers(128, 384, size=(NS, K, 4)).astype(np.int32))
@@ -256,6 +303,93 @@ def make_variant(name: str, WS: int, K: int, interpret: bool = False):
         )
         jitted = jax.jit(lambda reps: call(reps, scores, *planes))
         return jitted, K * int32_cells, "3 cells / int32 lane"
+
+    if name in ("mxumatch", "mxumatch8"):
+        # VERDICT-r2 #2: the MXU match-construction experiment. Per flush of
+        # 10 rows, ONE dot_general contracts the one-hot symbol planes
+        # (4, 3·WS, 128) with the flush's scores (10, 4) on the MXU —
+        # the TPU analog of the reference's 12,288-way mux
+        # (`device/HavacHls.cpp:407-449`) — into a VMEM value the row loop
+        # consumes by leading-dim slice + 10-bit field repack
+        # (cast/shift/or/bias). The measured rate therefore includes BOTH
+        # the matmul (contraction dim 4 → MXU pads to 128, ~3% utilization)
+        # and the repack the packed-SWAR state layout forces. mxumatch8
+        # uses int8×int8→int32 (skips the float casts); mxumatch uses
+        # bf16→f32 (scores ∈ [-128,127] are bf16-exact).
+        is8 = name == "mxumatch8"
+        in_dt = jax.numpy.int8 if is8 else jax.numpy.bfloat16
+        acc_dt = jax.numpy.int32 if is8 else jax.numpy.float32
+        NF = K // ROWS_PER_FLUSH
+
+        def kernel_mxu(reps_smem, scores_ref, onehot_ref, out_ref):
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (WS, 128), 1)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (WS, 128), 0)
+            col0 = col_ids == 0
+            pos00 = jnp.logical_and(col0, row_ids == 0)
+            oh = onehot_ref[:]
+            fmv = jnp.int32(fm)
+            bias = jnp.int32(256) * fmv
+
+            def body(r, carry):
+                state, bits, acc = carry
+                sidx = jax.lax.rem(r, NS)
+                for f in range(NF):
+                    sc = jax.lax.dynamic_slice(
+                        scores_ref[:], (sidx * K + f * ROWS_PER_FLUSH, 0),
+                        (ROWS_PER_FLUSH, 4))
+                    mdot = jax.lax.dot_general(
+                        sc, oh, (((1,), (0,)), ((), ())),
+                        preferred_element_type=acc_dt)
+                    for k in range(ROWS_PER_FLUSH):
+                        mk = mdot[k]
+                        m0 = mk[0:WS].astype(jnp.int32)
+                        m1 = mk[WS:2 * WS].astype(jnp.int32)
+                        m2 = mk[2 * WS:3 * WS].astype(jnp.int32)
+                        match = m0 + (m1 << 10) + (m2 << 20) + bias
+                        rolled = pltpu.roll(state, 1, 1)
+                        rolled_sub = pltpu.roll(rolled, 1, 0)
+                        shifted = jnp.where(col0, rolled_sub, rolled)
+                        stitch = (rolled_sub << 10) | jnp.int32(7)
+                        shifted = jnp.where(pos00, stitch, shifted)
+                        w = shifted + match
+                        t9 = w >> 9
+                        hit = t9 & fmv
+                        bits = (bits << 1) | hit
+                        kmask = (w >> 8) & ~t9 & fmv
+                        state = w & (kmask * 255)
+                    acc = acc ^ bits
+                    bits = jnp.zeros_like(state)
+                return state, bits, acc
+
+            z = jnp.zeros((WS, 128), jnp.int32)
+            state, bits, acc = jax.lax.fori_loop(
+                0, reps_smem[0], body, (z, z, z))
+            out_ref[:] = state + bits + acc
+
+        rng = np.random.default_rng(0)
+        sym3 = rng.integers(0, 4, size=(3 * WS, 128))
+        onehot = (sym3[None] == np.arange(4)[:, None, None])
+        onehot_dev = jax.numpy.asarray(
+            onehot.astype(np.int8 if is8 else np.float32)).astype(in_dt)
+        scores_np = rng.integers(-128, 128, size=(NS * K, 4))
+        scores_dev = jax.numpy.asarray(
+            scores_np.astype(np.int8 if is8 else np.float32)).astype(in_dt)
+
+        call = pl.pallas_call(
+            kernel_mxu,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((WS, 128), jax.numpy.int32),
+            interpret=interpret,
+        )
+        jitted = jax.jit(lambda reps: call(reps, scores_dev, onehot_dev))
+        return jitted, K * int32_cells, (
+            "3 cells / int32 lane, MXU match (int8)" if is8
+            else "3 cells / int32 lane, MXU match (bf16)")
 
     if name in ("add8", "add16"):
         dtype = jax.numpy.int8 if name == "add8" else jax.numpy.int16
@@ -367,7 +501,7 @@ def make_variant(name: str, WS: int, K: int, interpret: bool = False):
 
 
 VARIANTS = ["current", "perrow", "leanhit", "nomatch", "noroll", "addonly",
-            "add16"]
+            "mulcost", "andmatch", "mxumatch", "mxumatch8", "add16"]
 
 
 def main():
