@@ -17,6 +17,7 @@ filtered by each group's true row count at decode.
 
 from __future__ import annotations
 
+import time
 from typing import List, Optional, Tuple
 
 import jax
@@ -250,6 +251,9 @@ class Swar2DSweep:
         self.symw_dev = stage_from_full(pack_symbols(padded, self.W3),
                                         self._seq_shard)
         self._fns = {}
+        # Per-phase wall-clock attribution, same keys as the 1D mesh path.
+        self.prof = {"dispatch": 0.0, "sync": 0.0, "pull": 0.0,
+                     "decode": 0.0, "sort": 0.0}
 
     def run(self, scores: np.ndarray, prefix_sums: np.ndarray,
             reset_rows: Optional[np.ndarray] = None,
@@ -319,8 +323,12 @@ class Swar2DSweep:
         if monolithic:
             istate = device_zeros(self.symw_dev.shape, jnp.int32,
                                   self._seq_shard)
+            t0 = time.perf_counter()
             packeds = self._fns[key](self.symw_dev, sc_dev, rr_dev, istate)
+            self.prof["dispatch"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
             gmax = global_record_max(packeds, self.mesh)
+            self.prof["sync"] += time.perf_counter() - t0
             step_packeds = None
         else:
             state_shard = NamedSharding(
@@ -336,16 +344,20 @@ class Swar2DSweep:
             for t in range(T):
                 if abort_event is not None and abort_event.is_set():
                     return None
+                t0 = time.perf_counter()
                 istate, seam, pk = self._fns[key](
                     self.symw_dev, sc_dev, rr_dev, istate, seam, tarr[t])
                 try:
                     pk.copy_to_host_async()
                 except AttributeError:  # pragma: no cover - older jax
                     pass
+                self.prof["dispatch"] += time.perf_counter() - t0
                 step_packeds.append(pk)
                 if progress is not None:
                     progress(t + 1, T)
+            t0 = time.perf_counter()
             gmax = global_record_max_many(step_packeds, self.mesh)
+            self.prof["sync"] += time.perf_counter() - t0
         if gmax is not None and int(gmax.max()) > self.record_cap:
             raise _RecordCapacityExceeded(int(gmax.max()))
 
@@ -357,7 +369,10 @@ class Swar2DSweep:
             for sh in packeds.addressable_shards:
                 g0 = sh.index[0].start or 0
                 d0 = sh.index[1].start or 0
+                t0 = time.perf_counter()
                 arr = np.asarray(sh.data)
+                t1 = time.perf_counter()
+                self.prof["pull"] += t1 - t0
                 for gg in range(arr.shape[0]):
                     for dd in range(arr.shape[1]):
                         for t in range(arr.shape[2]):
@@ -365,25 +380,33 @@ class Swar2DSweep:
                                 arr[gg, dd, t], g0 + gg, d0 + dd,
                                 t - (d0 + dd), S, strips, g_rows, g_row0,
                                 all_rows, all_pos)
+                self.prof["decode"] += time.perf_counter() - t1
         else:
             for t, pk in enumerate(step_packeds):
                 for sh in pk.addressable_shards:
                     g0 = sh.index[0].start or 0
                     d0 = sh.index[1].start or 0
+                    t0 = time.perf_counter()
                     arr = np.asarray(sh.data)  # (Gl, Dl, CC, X)
+                    t1 = time.perf_counter()
+                    self.prof["pull"] += t1 - t0
                     for gg in range(arr.shape[0]):
                         for dd in range(arr.shape[1]):
                             self._decode_block(
                                 arr[gg, dd], g0 + gg, d0 + dd,
                                 t - (d0 + dd), S, strips, g_rows, g_row0,
                                 all_rows, all_pos)
+                    self.prof["decode"] += time.perf_counter() - t1
         if not all_rows:
             return (np.empty(0, dtype=np.int64),) * 2
         rows = np.concatenate(all_rows)
         pos = np.concatenate(all_pos)
         keep = pos < self.L
         rows, pos = rows[keep], pos[keep]
-        return sort_hit_pairs(rows, pos)
+        t0 = time.perf_counter()
+        out = sort_hit_pairs(rows, pos)
+        self.prof["sort"] += time.perf_counter() - t0
+        return out
 
     def _decode_block(self, vecs, g: int, d: int, s: int, S: int,
                       strips: int, g_rows, g_row0,
