@@ -194,6 +194,7 @@ class Havac:
         self._hit_rows = np.empty(0, dtype=np.int64)
         self._hit_positions = np.empty(0, dtype=np.int64)
         self._raw_sorted = True
+        self._raw_parts = None  # unmaterialized per-chunk raw coordinates
         self._resolved = None  # pool-resolved table (pipelined path)
         self._chunks_done = 0
         self._chunks_total = 0
@@ -262,9 +263,9 @@ class Havac:
     def warmup(self) -> "Havac":
         """Stage the database in HBM and compile the sweep's kernels now.
 
-        Cold start on remote-compile rigs is dominated by two serial
-        30-180 s compiles (the SSV kernel and the record compaction);
-        warmup launches both CONCURRENTLY and caches the staged sweep, so
+        Cold start on remote-compile rigs is dominated by a 30-180 s
+        remote compile of the fused kernel+compaction executable; warmup
+        runs it now and caches the staged sweep, so
         the next :meth:`run` starts sweeping immediately. Call after
         :meth:`load_phmm` + :meth:`load_sequence` — e.g. from a thread,
         overlapping other host work. No-op for the mesh / non-pipelined
@@ -277,19 +278,10 @@ class Havac:
                 or self.backend not in ("pallas", "pallas_interpret")):
             return self
         sweep = self._build_pipelined_sweep()
-        t = threading.Thread(target=sweep.warm_compact, daemon=True)
-        t.start()
-        # Kernel compile: dispatch the first chunk's exact shapes with zero
-        # state and discard the result (~tens of ms of compute once warm).
-        symw, _lo, _Lc = sweep._pack_codes(0)
-        jnp = sweep.jnp
-        B, WS = symw.shape[0], symw.shape[1]
-        istate = jnp.zeros((B, WS, 128), jnp.int32)
-        icarry = jnp.zeros(sweep._rows1[0], jnp.int32)
-        out = sweep._dispatch(symw, sweep._scores_dev[0], istate, icarry,
-                              sweep._chunk_maxt(), sweep._reset_dev[0])
-        np.asarray(out[3])  # block until the kernel executable is live
-        t.join()
+        # Since the kernel+compaction fusion there is ONE executable to
+        # warm: dispatch the first chunk's exact shapes with zero state and
+        # discard the result (~tens of ms of compute once warm).
+        sweep.warm_compact()
         self._warm_sweep = sweep
         return self
 
@@ -432,6 +424,7 @@ class Havac:
         self._hit_rows = np.empty(0, dtype=np.int64)
         self._hit_positions = np.empty(0, dtype=np.int64)
         self._raw_sorted = True
+        self._raw_parts = None
         self._resolved = None
         self._chunks_done = 0
         self.stats = RunStats()
@@ -453,12 +446,28 @@ class Havac:
 
     # ------------------------------------------------------------------ hits
 
+    def _materialize_raw(self) -> None:
+        """Concatenate the pipelined path's retained per-chunk raw parts
+        into the flat (rows, positions) arrays (lazy: the resolved table is
+        built without them, and most callers never ask for raw hits)."""
+        if self._hit_rows is not None:
+            return
+        parts = self._raw_parts or []
+        rows = [r for r, _ in parts if r.size]
+        pos = [p for _, p in parts if p.size]
+        self._hit_rows = (np.concatenate(rows) if rows
+                          else np.empty(0, dtype=np.int64))
+        self._hit_positions = (np.concatenate(pos) if pos
+                               else np.empty(0, dtype=np.int64))
+        self._raw_parts = None
+
     def raw_hits(self) -> Tuple[np.ndarray, np.ndarray]:
         """Unresolved global (phmm_row, sequence_position) hit coordinates —
         the analog of the device's u64 hit records before host decode.
-        Sorted by (row, position); the sort is lazy (first query) on the
-        pipelined path, whose hot loop no longer needs ordered raw hits."""
+        Sorted by (row, position); materialization and sort are lazy (first
+        query) on the pipelined path, whose hot loop needs neither."""
         self._require_completed()
+        self._materialize_raw()
         if not self._raw_sorted:
             from havac_tpu.ops.common import sort_hit_pairs
 
@@ -527,6 +536,7 @@ class Havac:
             return
         from havac_tpu.hits.verify import HitVerificationError
 
+        self._materialize_raw()
         report = self._verify_raw(self._hit_rows, self._hit_positions)
         self.verification = report
         self.stats.num_unverified = report.num_hits - report.num_verified
@@ -692,13 +702,11 @@ class Havac:
             log.info("pipeline phases (s): %s",
                      {k: round(v, 3) for k, v in sweep.prof.items()})
             try:  # compile accounting (remote compiles dominate cold start)
-                from havac_tpu.engine.pipeline import _get_compact_jit
-
-                log.info("compiled executables this process: kernel=%s "
-                         "compaction=%s",
+                log.info("compiled executables this process: fused=%d "
+                         "kernel=%s",
+                         len(sweep._fused),
                          sweep._mod._ssv_swar_jit._cache_size()
-                         if hasattr(sweep._mod, "_ssv_swar_jit") else "n/a",
-                         _get_compact_jit()._cache_size())
+                         if hasattr(sweep._mod, "_ssv_swar_jit") else "n/a")
             except Exception:  # pragma: no cover - diagnostics only
                 pass
             if result is None:
@@ -706,14 +714,20 @@ class Havac:
                     self._state = HavacRunState.ABORTED
                 return
             self._hit_rows, self._hit_positions, resolved, t_sweep = result
-            # Raw hits come back unsorted when the pool resolved them
-            # chunk-by-chunk; sort lazily on the first raw_hits() query.
+            # Raw hits come back as unmaterialized per-chunk parts when the
+            # pool resolved them chunk-by-chunk; concatenate + sort lazily
+            # on the first raw_hits() query.
             self._raw_sorted = resolved is None
             self._resolved = resolved
+            if self._hit_rows is None:
+                self._raw_parts = sweep.raw_parts
+                n_raw = sum(int(r.shape[0]) for r, _ in sweep.raw_parts)
+            else:
+                n_raw = int(self._hit_rows.shape[0])
             self.stats.num_chunks = self._chunks_total
             self.stats.cells = sweep.L * self.scores.shape[0]
             self.stats.sweep_seconds = t_sweep
-            self.stats.num_raw_hits = int(self._hit_rows.shape[0])
+            self.stats.num_raw_hits = n_raw
             if self.checkpoint_path and os.path.exists(self.checkpoint_path):
                 os.remove(self.checkpoint_path)
             self._maybe_verify()

@@ -95,19 +95,40 @@ def _compact_tiles_impl(otiles, ocnts, ometa, count, cap: int):
     rows = otiles.reshape(R, 128)
     # ocnts is (maxt, 8, C>=WS/8): [slot, i, g] counts sublane row i*C+g
     # (lane-padded by the kernel; sliced off here). The search structure is
-    # TWO-LEVEL, following the sidecar's natural (slot, i) blocks: a prefix
-    # over the NG = maxt*8 group totals (tiny), then per-record group
-    # search + an in-group lane prefix — no R-length (4M) cumsum or
-    # searchsorted ever materializes.
+    # THREE-LEVEL, following the sidecar's natural (slot, i) blocks: group
+    # totals fold into 128-group prefix rows, records coarse-search the
+    # tiny per-row totals (searchsorted over NB ≈ NG/128 entries — the
+    # r2 version searched all NG = maxt·8 groups per record, which
+    # compactbench measured as the dominant 2.9 ms), then locate their
+    # group inside ONE gathered 128-lane prefix row by compare-count, and
+    # finally their word by the in-group lane prefix. No R-length (4M)
+    # cumsum and no NG-length per-record search ever materializes.
     cnt_g = ocnts[:, :, :C].reshape(NG, C)
-    cnt_g = jnp.where(jnp.arange(NG)[:, None] // 8 < count, cnt_g, 0)
     g_tot = jnp.sum(cnt_g, axis=1)  # (NG,)
-    g_offs = jnp.cumsum(g_tot)
-    nrec = g_offs[NG - 1]
+    # Stale slots beyond ``count`` are excluded here, on the (NG,) totals —
+    # masking the full (NG, C) block cost a measured ~1.5 ms/chunk, and
+    # valid records can only ever index live groups of cnt_g.
+    g_tot = jnp.where(jnp.arange(NG) // 8 < count, g_tot, 0)
+    NB = (NG + 127) // 128
+    g2 = jnp.zeros((NB, 128), jnp.int32).reshape(-1).at[:NG].set(
+        g_tot).reshape(NB, 128)
+    in_row = jnp.cumsum(g2, axis=1)  # (NB, 128) lane prefix
+    row_tot = in_row[:, 127]  # (NB,)
+    row_offs = jnp.cumsum(row_tot)  # inclusive per-prefix-row totals
+    offs2 = in_row + (row_offs - row_tot)[:, None]  # global inclusive prefix
+    nrec = row_offs[NB - 1]
     r = jnp.arange(cap, dtype=jnp.int32)
-    gi = jnp.searchsorted(g_offs, r + 1, side="left").astype(jnp.int32)
-    gic = jnp.clip(gi, 0, NG - 1)
-    g_prev = jnp.where(gic > 0, g_offs[jnp.clip(gic - 1, 0, None)], 0)
+    bi = jnp.searchsorted(row_offs, r + 1, side="left").astype(jnp.int32)
+    bic = jnp.clip(bi, 0, NB - 1)
+    win = offs2[bic]  # (cap, 128) — the record's 128-group prefix window
+    gl = jnp.sum((win < (r + 1)[:, None]).astype(jnp.int32), axis=1)
+    glc = jnp.clip(gl, 0, 127)
+    gic = jnp.clip(bic * 128 + glc, 0, NG - 1)
+    row_base = (row_offs - row_tot)[bic]
+    g_prev = jnp.where(
+        glc > 0,
+        jnp.take_along_axis(win, jnp.clip(glc - 1, 0, None)[:, None],
+                            axis=1)[:, 0], row_base)
     grank = r + 1 - g_prev  # 1-based rank within the group
     crow = cnt_g[gic]  # (cap, C) gather of per-row counts
     ccum = jnp.cumsum(crow, axis=1)
@@ -132,33 +153,68 @@ def _compact_tiles_impl(otiles, ocnts, ometa, count, cap: int):
                             words.astype(jnp.int32)])
 
 
-def _concat_results(results):
-    rows = ([r for _, r, _, _ in results if r.size]
-            or [np.empty(0, dtype=np.int64)])
-    pos = ([p for _, _, p, _ in results if p.size]
-           or [np.empty(0, dtype=np.int64)])
-    return np.concatenate(rows), np.concatenate(pos)
+def _concat_fill(parts, pool):
+    """np.concatenate with the copies fanned across ``pool``: one worker
+    per source part writing its slice of a preallocated buffer. Large
+    fresh-page concatenations on this VM run at wildly variable single-core
+    rates (85 MB/s worst case measured); parallel first-touch fill is never
+    slower. Must NOT be called from inside a pool worker (nested submits
+    can deadlock a bounded pool)."""
+    parts = [p for p in parts if p.size]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    if len(parts) == 1:
+        return parts[0]
+    offs = np.cumsum([0] + [p.size for p in parts])
+    out = np.empty(offs[-1], dtype=parts[0].dtype)
+    futs = [pool.submit(out.__setitem__, slice(offs[i], offs[i + 1]),
+                        parts[i]) for i in range(len(parts))]
+    for f in futs:
+        f.result()
+    return out
 
 
-def _merge_group(parts):
+def _concat_results(results, pool=None):
+    rows = [r for _, r, _, _ in results if r.size]
+    pos = [p for _, _, p, _ in results if p.size]
+    if pool is not None:
+        return _concat_fill(rows, pool), _concat_fill(pos, pool)
+    return (np.concatenate(rows or [np.empty(0, dtype=np.int64)]),
+            np.concatenate(pos or [np.empty(0, dtype=np.int64)]))
+
+
+_RESOLVED_FIELDS = ("sequence_index", "sequence_position", "phmm_index",
+                    "phmm_position")
+
+
+def _merge_group_into(parts, cols, lo: int, hi: int):
     """Sort one row-chunk group's (ResolvedHits, kept_rows, kept_pos) parts
-    by raw (row, position) key — pure numpy, collector-pool work item."""
-    from havac_tpu.hits.decode import ResolvedHits, concat_hits
+    by raw (row, position) key, writing the permuted columns DIRECTLY into
+    rows [lo, hi) of the preallocated result columns — jax-free
+    collector-pool work item (native threaded sort/gather when built, numpy
+    otherwise). Writing in place halves the bytes moved vs
+    merge-then-concatenate; memcpy bandwidth is the tail's bottleneck."""
     from havac_tpu.ops.common import hit_sort_order
 
     krows = [r for _, r, _ in parts if r.size]
     if not krows:
-        return None
+        return
     rows = np.concatenate(krows)
     pos = np.concatenate([p for _, _, p in parts if p.size])
-    order = hit_sort_order(rows, pos)
-    merged = concat_hits([t for t, _, _ in parts])
-    return ResolvedHits(
-        sequence_index=merged.sequence_index[order],
-        sequence_position=merged.sequence_position[order],
-        phmm_index=merged.phmm_index[order],
-        phmm_position=merged.phmm_position[order],
-    )
+    try:
+        from havac_tpu import native
+    except Exception:  # pragma: no cover
+        native = None
+    order = native.sort_order_native(rows, pos) if native else None
+    if order is None:
+        order = hit_sort_order(rows, pos)
+    for f, out_col in zip(_RESOLVED_FIELDS, cols):
+        col = np.concatenate([np.ascontiguousarray(getattr(t, f))
+                              for t, _, _ in parts if len(t)])
+        done = (native.permute_i64_native(col, order, out=out_col[lo:hi])
+                if native else None)
+        if done is None:
+            out_col[lo:hi] = col[order]
 
 
 def _concat_resolved(results, n_row, pool):
@@ -166,21 +222,27 @@ def _concat_resolved(results, n_row, pool):
     entries into one globally (row, position)-sorted table.
 
     Row-chunk groups cover disjoint row ranges, so each group sorts
-    independently (fanned out on the collector pool — np.argsort releases
-    the GIL and this VM's thread pools reach ~8×) and the groups
-    concatenate in ri order already globally sorted."""
-    from havac_tpu.hits.decode import ResolvedHits, concat_hits
+    independently (fanned out on the collector pool — the native sort and
+    numpy both release the GIL, and this VM's thread pools reach ~8×),
+    each writing its slice of the final columns in place; slices stacked in
+    ri order are already globally sorted."""
+    from havac_tpu.hits.decode import ResolvedHits
 
     groups = [[] for _ in range(n_row)]
     for ri, _, _, res in results:
         if res is not None:
             groups[ri].append(res)
-    futs = [pool.submit(_merge_group, g) for g in groups if g]
-    merged = [f.result() for f in futs]
-    merged = [m for m in merged if m is not None]
-    if not merged:
+    sizes = [sum(r.size for _, r, _ in g) for g in groups]
+    total = sum(sizes)
+    if not total:
         return ResolvedHits(*(np.empty(0, dtype=np.int64),) * 4)
-    return concat_hits(merged)
+    cols = [np.empty(total, dtype=np.int64) for _ in _RESOLVED_FIELDS]
+    offs = np.cumsum([0] + sizes)
+    futs = [pool.submit(_merge_group_into, g, cols, offs[i], offs[i + 1])
+            for i, g in enumerate(groups) if g]
+    for f in futs:
+        f.result()
+    return ResolvedHits(*cols)
 
 
 class PipelinedSweep:
@@ -227,6 +289,7 @@ class PipelinedSweep:
 
         self._prof_lock = _threading.Lock()  # decode accrues from workers
         self.tile_budget_bytes = config.tile_budget_bytes
+        self._fused = {}  # (maxt, cap) -> jitted kernel+compaction
 
         if config.packing == 3:
             from havac_tpu.ops import ssv_swar as mod
@@ -315,28 +378,24 @@ class PipelinedSweep:
         return min(ntiles, self._maxt_cap)
 
     def warm_compact(self) -> None:
-        """Trigger the compaction compile on dummy inputs.
+        """Trigger the fused kernel+compaction compile on chunk-0 shapes.
 
-        Run from a side thread at sweep start so the two 30-180 s remote
-        compiles (kernel + compaction) on the axon rig proceed concurrently
-        instead of serially on the first chunk. Warm, this costs one
-        ~millisecond no-op dispatch. AOT .lower().compile() cannot be used
-        here — local AOT fails on the rig's libtpu version mismatch — so a
-        real dummy call is the only way to force the compile."""
+        Since the fusion rewrite there is ONE executable per (maxt, cap);
+        this dispatches it once with zero state and discards the result
+        (~tens of ms of compute once warm; one 30-180 s remote compile
+        cold). AOT .lower().compile() cannot be used here — local AOT
+        fails on the rig's libtpu version mismatch — so a real dummy call
+        is the only way to force the compile."""
         jnp = self.jnp
         try:
-            maxt = self._chunk_maxt()
-            WS_t = self._tile_words // 128
-            otiles = jnp.zeros((maxt, WS_t, 128), jnp.int32)
-            # The SWAR kernel pads the sidecar's lane dim to 128; the
-            # unpacked path's reduction emits exactly WS_t // 8.
-            ocnts_c = 128 if self.cfg.packing == 3 else WS_t // 8
-            ocnts = jnp.zeros((maxt, 8, ocnts_c), jnp.int32)
-            ometa = jnp.zeros((maxt,), jnp.int32)
-            packed = self._compact(otiles, ocnts, ometa,
-                                   jnp.zeros((), jnp.int32),
-                                   cap=self.record_cap)
-            np.asarray(packed[:1])
+            symw, _lo, _Lc = self._pack_codes(0)
+            B, WS = symw.shape[0], symw.shape[1]
+            istate = jnp.zeros((B, WS, 128), jnp.int32)
+            icarry = jnp.zeros(self._rows1[0], jnp.int32)
+            out = self._dispatch_fused(symw, self._scores_dev[0], istate,
+                                       icarry, self._chunk_maxt(),
+                                       self._reset_dev[0], self.record_cap)
+            np.asarray(out[2][:1])
         except Exception:  # pragma: no cover - warmup must never fail a run
             pass
 
@@ -379,6 +438,34 @@ class PipelinedSweep:
             block_width=self.W, rows_per_strip=self.K,
             max_hit_tiles=maxt, interpret=self.cfg.interpret)
         return out + (_get_rowcnt_jit()(out[4]),)
+
+    def _get_fused(self, maxt: int, cap: int):
+        """One jitted executable for kernel + record compaction: halves the
+        per-chunk dispatch count (each enqueue costs ~1.3 ms of host time on
+        the tunnel rig) and leaves the dirty-tile buffer internal to the
+        executable. Cached per (maxt, cap); cap growth recompiles once per
+        growth, like the standalone compaction did."""
+        key = (maxt, cap)
+        fn = self._fused.get(key)
+        if fn is None:
+            dispatch = self._dispatch
+
+            def fused(symw, scores_dev, istate, icarry, reset_dev):
+                out = dispatch(symw, scores_dev, istate, icarry, maxt,
+                               reset_dev)
+                packed = _compact_tiles_impl(out[4], out[5], out[2],
+                                             out[3][0], cap=cap)
+                return out[0], out[1], packed
+
+            fn = self.jax.jit(fused)
+            self._fused[key] = fn
+        return fn
+
+    def _dispatch_fused(self, symw, scores_dev, istate, icarry, maxt: int,
+                        reset_dev, cap: int):
+        """(ostate, ocarry, packed records) in ONE device dispatch."""
+        return self._get_fused(maxt, cap)(symw, scores_dev, istate, icarry,
+                                          reset_dev)
 
     def _decode_packed(self, packed: np.ndarray, n: int, cap: int, ri: int,
                        lo: int, Lc: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -480,28 +567,29 @@ class PipelinedSweep:
                 results.append((ri, rs, ps, res0))
             done = start_ci * self.n_row
 
-        import threading
-
-        # Overlap the compaction compile with the kernel compile (cold) —
-        # see warm_compact. Daemon: an aborted run must not wait on it.
-        threading.Thread(target=self.warm_compact, daemon=True).start()
-
+        # (The pre-fusion design started a warm_compact thread here to
+        # overlap the separate compaction compile with the kernel compile;
+        # the fused executable made that second compile disappear.)
         with ThreadPoolExecutor(max_workers=4) as pool:
 
             def drain_one():
-                out, packed_dev, cap, ri, lo, Lc = pend.pop(0)
+                inputs, packed_dev, cap, ri, lo, Lc = pend.pop(0)
                 t0 = time.perf_counter()
                 packed = np.asarray(packed_dev)
                 n = int(packed[0])
                 while n > cap:
-                    # Rare: the chunk overflowed the record cap — grow it and
-                    # re-run only the cheap compaction from the still-live
-                    # tiles (held by ``out``).
+                    # Rare: the chunk overflowed the record cap — grow it
+                    # and re-dispatch the fused chunk (its retained inputs
+                    # are in ``inputs``; one extra ~25 ms kernel run, at
+                    # most a handful of times per process as the cap
+                    # converges on the workload's density).
                     self.record_cap = max(self.record_cap,
                                           max(cap * 2, round_up(n, 1024)))
                     cap = self.record_cap
-                    pk2 = self._compact(out[4], out[5], out[2],
-                                        out[3][0], cap=cap)
+                    symw_i, istate_i, icarry_i, maxt_i = inputs
+                    _, _, pk2 = self._dispatch_fused(
+                        symw_i, self._scores_dev[ri], istate_i, icarry_i,
+                        maxt_i, self._reset_dev[ri], cap)
                     packed = np.asarray(pk2)
                     n = int(packed[0])
                     self.overflow_retries += 1
@@ -528,26 +616,26 @@ class PipelinedSweep:
                     ntiles = B * self._scores_dev[ri].shape[0] * self._nflush
                     maxt = min(ntiles, self._maxt_cap)
                     t0 = time.perf_counter()
-                    out = self._dispatch(symw, self._scores_dev[ri], istate,
-                                         icarry, maxt, self._reset_dev[ri])
-                    # Compact immediately (device work queues behind the
-                    # kernel) and start the packed vector's D2H while the
-                    # device sweeps the next chunk.
+                    # ONE fused dispatch runs the kernel and compacts its
+                    # dirty tiles to records on device; the packed vector's
+                    # D2H starts while the device sweeps the next chunk.
                     cap = self.record_cap
-                    packed = self._compact(out[4], out[5], out[2],
-                                           out[3][0], cap=cap)
+                    ostate, ocarry, packed = self._dispatch_fused(
+                        symw, self._scores_dev[ri], istate, icarry, maxt,
+                        self._reset_dev[ri], cap)
                     try:
                         packed.copy_to_host_async()
                     except AttributeError:  # pragma: no cover - older jax
                         pass
                     t1 = time.perf_counter()
                     self.prof["dispatch"] += t1 - t0
-                    pend.append((out, packed, cap, ri, lo, Lc))
+                    pend.append(((symw, istate, icarry, maxt), packed, cap,
+                                 ri, lo, Lc))
                     while len(pend) >= lookahead:
                         drain_one()  # bound buffers in flight
                     self.prof["gate_wait"] += time.perf_counter() - t1
-                    istate = out[0]  # chain row state on device
-                    col_carry[ri] = out[1]  # chain carry on device
+                    istate = ostate  # chain row state on device
+                    col_carry[ri] = ocarry  # chain carry on device
                     done += 1
                     if progress is not None:
                         progress(done)
@@ -559,7 +647,7 @@ class PipelinedSweep:
                     futures.clear()
                     carries = np.stack([np.asarray(prev_col_carry[ri])
                                         for ri in range(self.n_row)])
-                    rows_s, pos_s = _concat_results(results)
+                    rows_s, pos_s = _concat_results(results, pool)
                     checkpoint_cb(ci + 1, carries, rows_s, pos_s)
             t_drain = time.perf_counter()
             while pend:
@@ -568,16 +656,21 @@ class PipelinedSweep:
             self.prof["drain"] += time.perf_counter() - t_drain
 
             t_tail = time.perf_counter()
-            rows, pos = _concat_results(results)
             resolved = None
             if self._resolve_fn is not None:
                 # Chunks were resolved in the collector pool as the device
                 # swept; the tail fans per-row-chunk group sorts (disjoint
-                # row ranges) across the pool. Raw (rows, pos) stay UNSORTED
-                # here — the engine sorts them lazily if raw_hits() is ever
-                # queried.
+                # row ranges) across the pool, each writing its slice of
+                # the preallocated result columns. Raw (rows, pos) are NOT
+                # materialized at all — memcpy bandwidth is the tail's
+                # scarce resource on this VM — the engine concatenates and
+                # sorts the retained per-chunk parts lazily if raw_hits()
+                # is ever queried.
                 resolved = _concat_resolved(results, self.n_row, pool)
+                self.raw_parts = [(r, p) for _, r, p, _ in results]
+                rows = pos = None
             else:
+                rows, pos = _concat_results(results)
                 rows, pos = sort_hit_pairs(rows, pos)
             self.prof["tail_sort"] = time.perf_counter() - t_tail
         return rows, pos, resolved, time.perf_counter() - t_start

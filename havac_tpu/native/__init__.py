@@ -81,6 +81,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.hv_decode_swar_flat.argtypes = [pi64, pi64, pu32, i64, i64, i64,
                                         pi64, pi64]
     lib.hv_sort_hits.argtypes = [pi64, pi64, i64, ctypes.c_int]
+    try:  # added after the first release of the .so; stale builds lack them
+        lib.hv_sort_order.argtypes = [pi64, pi64, i64, ctypes.c_int, pi64]
+        lib.hv_permute_i64.argtypes = [pi64, pi64, i64, pi64, ctypes.c_int]
+    except AttributeError:  # pragma: no cover - rebuilt on demand
+        pass
     lib.hv_resolve_hits.restype = i64
     lib.hv_resolve_hits.argtypes = [pi64, pi64, i64, pi64, pi64, i64,
                                     pi64, i64, pi64, pi64, pi64, pi64,
@@ -222,6 +227,43 @@ def sort_hits_native(rows, pos, nthreads: int = 8) -> bool:
     assert rows.flags.c_contiguous and pos.flags.c_contiguous
     lib.hv_sort_hits(_i64p(rows), _i64p(pos), rows.shape[0], nthreads)
     return True
+
+
+def sort_order_native(rows, pos, nthreads: int = 8):
+    """Permutation sorting (rows, pos) by (row, position) — the parallel
+    analog of ops.common.hit_sort_order; None when unavailable or when the
+    composite key would overflow (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hv_sort_order"):
+        return None
+    if rows.size and (int(rows.max()) >= _MAX_KEY_ROW
+                      or int(pos.max()) >= _MAX_KEY_POS):
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    order = np.empty(rows.shape[0], dtype=np.int64)
+    lib.hv_sort_order(_i64p(rows), _i64p(pos), rows.shape[0], nthreads,
+                      _i64p(order))
+    return order
+
+
+def permute_i64_native(src, order, out=None, nthreads: int = 8):
+    """dst[i] = src[order[i]] with a threaded native gather; None when the
+    library is unavailable (caller uses numpy fancy indexing). ``out`` may
+    be a contiguous int64 view to write into (e.g. a slice of a
+    preallocated result column, saving one full copy)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hv_permute_i64"):
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    if out is None:
+        out = np.empty(order.shape[0], dtype=np.int64)
+    assert (out.dtype == np.int64 and out.flags.c_contiguous
+            and out.shape[0] == order.shape[0])
+    lib.hv_permute_i64(_i64p(src), _i64p(order), order.shape[0], _i64p(out),
+                       nthreads)
+    return out
 
 
 def resolve_hits_native(rows, pos, starts, lengths, prefix,

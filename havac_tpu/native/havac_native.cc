@@ -486,9 +486,12 @@ int64_t hv_resolve_hits(const int64_t* rows, const int64_t* pos, int64_t n,
 
 namespace {
 
-void sort_pairs(int64_t* rows, int64_t* pos, int64_t n, int nthreads) {
-  if (n <= 1) return;
-  std::vector<std::pair<uint64_t, int64_t>> keyed(static_cast<size_t>(n));
+// Parallel keyed sort shared by sort_pairs / hv_sort_order: fills ``keyed``
+// with ((row<<38)|pos, source index) sorted ascending.
+void sort_keyed(const int64_t* rows, const int64_t* pos, int64_t n,
+                int nthreads,
+                std::vector<std::pair<uint64_t, int64_t>>& keyed) {
+  keyed.resize(static_cast<size_t>(n));
   for (int64_t i = 0; i < n; i++)
     keyed[static_cast<size_t>(i)] = {hit_key(rows[i], pos[i]), i};
   if (nthreads > 1 && n > (1 << 18)) {
@@ -520,6 +523,12 @@ void sort_pairs(int64_t* rows, int64_t* pos, int64_t n, int nthreads) {
   } else {
     std::sort(keyed.begin(), keyed.end());
   }
+}
+
+void sort_pairs(int64_t* rows, int64_t* pos, int64_t n, int nthreads) {
+  if (n <= 1) return;
+  std::vector<std::pair<uint64_t, int64_t>> keyed;
+  sort_keyed(rows, pos, n, nthreads, keyed);
   std::vector<int64_t> r2(static_cast<size_t>(n)), p2(static_cast<size_t>(n));
   for (int64_t i = 0; i < n; i++) {
     const int64_t src = keyed[static_cast<size_t>(i)].second;
@@ -531,6 +540,38 @@ void sort_pairs(int64_t* rows, int64_t* pos, int64_t n, int nthreads) {
 }
 
 }  // namespace
+
+extern "C" {
+
+// Permutation that sorts (rows, pos) by (row, pos) — the parallel analog of
+// np.argsort over the composite key, for callers that must reorder extra
+// parallel columns (the engine's resolved-hit merge).
+void hv_sort_order(const int64_t* rows, const int64_t* pos, int64_t n,
+                   int nthreads, int64_t* order) {
+  if (n <= 0) return;
+  std::vector<std::pair<uint64_t, int64_t>> keyed;
+  sort_keyed(rows, pos, n, nthreads, keyed);
+  for (int64_t i = 0; i < n; i++)
+    order[i] = keyed[static_cast<size_t>(i)].second;
+}
+
+// Threaded 64-bit gather: dst[i] = src[order[i]] — reordering resolved-hit
+// columns by a precomputed sort permutation at memory speed.
+void hv_permute_i64(const int64_t* src, const int64_t* order, int64_t n,
+                    int64_t* dst, int nthreads) {
+  if (n <= 0) return;
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 64) nthreads = 64;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; t++)
+    threads.emplace_back([&, t] {
+      const int64_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+      for (int64_t i = lo; i < hi; i++) dst[i] = src[order[i]];
+    });
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"
 
 // ------------------------------------------------------- ASan self-test main
 //

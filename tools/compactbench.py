@@ -76,18 +76,32 @@ def make_stage(stage: str, cap: int):
         NG = maxt * 8
         rows = otiles.reshape(R, 128)
         cnt_g = ocnts[:, :, :C].reshape(NG, C)
-        cnt_g = jnp.where(jnp.arange(NG)[:, None] // 8 < count, cnt_g, 0)
         g_tot = jnp.sum(cnt_g, axis=1)
-        g_offs = jnp.cumsum(g_tot)
-        nrec = g_offs[NG - 1]
+        g_tot = jnp.where(jnp.arange(NG) // 8 < count, g_tot, 0)
+        NB = (NG + 127) // 128
+        g2 = jnp.zeros((NB, 128), jnp.int32).reshape(-1).at[:NG].set(
+            g_tot).reshape(NB, 128)
+        in_row = jnp.cumsum(g2, axis=1)
+        row_tot = in_row[:, 127]
+        row_offs = jnp.cumsum(row_tot)
+        offs2 = in_row + (row_offs - row_tot)[:, None]
+        nrec = row_offs[NB - 1]
         if stage == "counts":
-            return nrec[None] + g_offs[:1]
+            return nrec[None] + row_offs[:1]
         r = jnp.arange(cap, dtype=jnp.int32)
-        gi = jnp.searchsorted(g_offs, r + 1, side="left").astype(jnp.int32)
-        gic = jnp.clip(gi, 0, NG - 1)
+        bi = jnp.searchsorted(row_offs, r + 1, side="left").astype(jnp.int32)
+        bic = jnp.clip(bi, 0, NB - 1)
+        win = offs2[bic]
+        gl = jnp.sum((win < (r + 1)[:, None]).astype(jnp.int32), axis=1)
+        glc = jnp.clip(gl, 0, 127)
+        gic = jnp.clip(bic * 128 + glc, 0, NG - 1)
         if stage == "search":
             return nrec[None] + jnp.sum(gic)[None]
-        g_prev = jnp.where(gic > 0, g_offs[jnp.clip(gic - 1, 0, None)], 0)
+        row_base = (row_offs - row_tot)[bic]
+        g_prev = jnp.where(
+            glc > 0,
+            jnp.take_along_axis(win, jnp.clip(glc - 1, 0, None)[:, None],
+                                axis=1)[:, 0], row_base)
         grank = r + 1 - g_prev
         crow = cnt_g[gic]
         ccum = jnp.cumsum(crow, axis=1)

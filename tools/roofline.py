@@ -322,6 +322,9 @@ def make_variant(name: str, WS: int, K: int, interpret: bool = False):
         NF = K // ROWS_PER_FLUSH
 
         def kernel_mxu(reps_smem, scores_ref, onehot_ref, out_ref):
+            # scores_ref is (NS·NF, 10, 4): one flush of rows per leading
+            # index, read with a dynamic LEADING index (Mosaic supports
+            # that; a mid-array dynamic_slice it does not).
             col_ids = jax.lax.broadcasted_iota(jnp.int32, (WS, 128), 1)
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (WS, 128), 0)
             col0 = col_ids == 0
@@ -334,9 +337,7 @@ def make_variant(name: str, WS: int, K: int, interpret: bool = False):
                 state, bits, acc = carry
                 sidx = jax.lax.rem(r, NS)
                 for f in range(NF):
-                    sc = jax.lax.dynamic_slice(
-                        scores_ref[:], (sidx * K + f * ROWS_PER_FLUSH, 0),
-                        (ROWS_PER_FLUSH, 4))
+                    sc = scores_ref[sidx * NF + f]
                     mdot = jax.lax.dot_general(
                         sc, oh, (((1,), (0,)), ((), ())),
                         preferred_element_type=acc_dt)
@@ -371,7 +372,7 @@ def make_variant(name: str, WS: int, K: int, interpret: bool = False):
         onehot = (sym3[None] == np.arange(4)[:, None, None])
         onehot_dev = jax.numpy.asarray(
             onehot.astype(np.int8 if is8 else np.float32)).astype(in_dt)
-        scores_np = rng.integers(-128, 128, size=(NS * K, 4))
+        scores_np = rng.integers(-128, 128, size=(NS * NF, ROWS_PER_FLUSH, 4))
         scores_dev = jax.numpy.asarray(
             scores_np.astype(np.int8 if is8 else np.float32)).astype(in_dt)
 
