@@ -39,21 +39,60 @@ def _get_compact_jit():
 _COMPACT_JIT = None
 
 
-def _get_rowcnt_jit():
-    """Per-sublane-row nonzero counts for kernels that don't emit the ocnts
-    sidecar themselves (the unpacked kernel)."""
-    global _ROWCNT_JIT
-    if _ROWCNT_JIT is None:
-        import jax
-        import jax.numpy as jnp
+def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
+                      maxt: int, cap: int, interpret: bool, isolate: bool):
+    """Module-level cache of the fused kernel+compaction executable.
 
-        _ROWCNT_JIT = jax.jit(lambda t: jnp.sum(
-            (t.reshape(t.shape[0], 8, t.shape[1] // 8, 128) != 0)
-            .astype(jnp.int32), axis=3))
-    return _ROWCNT_JIT
+    MUST be global, not per-sweep: the engine builds a fresh PipelinedSweep
+    per run, and a per-instance ``jax.jit`` closure would re-trace AND
+    remote-recompile the fused program on every run of a warm process —
+    this rig's compiles are remote-only with no cross-executable dedup, so
+    an instance-level cache put ~10 s of recompilation inside every timed
+    run (the round-2 design's module-level kernel jit had no such cost)."""
+    key = (packing, block_words, rows_per_strip, maxt, cap, interpret,
+           isolate)
+    fn = _FUSED_CACHE.get(key)
+    if fn is not None:
+        return fn
+    import jax
+
+    if packing == 3:
+        from havac_tpu.ops import ssv_swar as mod
+
+        def fused(symw, scores_dev, istate, icarry, reset_dev):
+            out = mod._ssv_swar_jit(
+                symw, scores_dev, istate, icarry, reset_dev,
+                block_words=block_words, max_hit_tiles=maxt,
+                interpret=interpret, isolate=isolate)
+            packed = _compact_tiles_impl(out[4], out[5], out[2], out[3][0],
+                                         cap=cap)
+            return out[0], out[1], packed
+    else:
+        from havac_tpu.ops import ssv_pallas as mod
+
+        def fused(symw, scores_dev, istate, icarry, reset_dev):
+            del reset_dev  # unpacked kernel has no isolation support
+            out = mod._ssv_pallas_jit(
+                symw, scores_dev, istate, icarry,
+                block_width=block_words, rows_per_strip=rows_per_strip,
+                max_hit_tiles=maxt, interpret=interpret)
+            t = out[4]
+            import jax.numpy as jnp
+
+            ocnts = jnp.sum(
+                (t.reshape(t.shape[0], 8, t.shape[1] // 8, 128) != 0)
+                .astype(jnp.int32), axis=3)
+            packed = _compact_tiles_impl(out[4], ocnts, out[2], out[3][0],
+                                         cap=cap)
+            return out[0], out[1], packed
+
+    fn = jax.jit(fused)
+    _FUSED_CACHE[key] = fn
+    return fn
 
 
-_ROWCNT_JIT = None
+_FUSED_CACHE: Dict = {}
+_RECORD_CAP_HINT = 0  # process-wide learned record cap (see PipelinedSweep)
 
 
 def _compact_tiles_impl(otiles, ocnts, ometa, count, cap: int):
@@ -265,7 +304,12 @@ class PipelinedSweep:
         self.W = config.block_width
         self.K = config.rows_per_strip
         self.overflow_retries = 0
-        self.record_cap = 1 << 14  # hit records pulled per chunk (adaptive)
+        # Hit records pulled per chunk: adaptive, and seeded process-wide —
+        # once any sweep converges on a workload's density, later sweeps
+        # (fresh engines included) start at the learned cap and skip the
+        # overflow re-dispatch plus its one-off recompile at the grown cap.
+        global _RECORD_CAP_HINT
+        self.record_cap = max(1 << 14, _RECORD_CAP_HINT)
         # Per-phase wall-clock attribution (seconds), filled by run():
         #   dispatch    — enqueueing kernel+compaction (async, host side)
         #   gate_wait   — main thread in the lookahead gate (≈ pull + any
@@ -278,9 +322,18 @@ class PipelinedSweep:
         #                 (overlapped with the device sweep; the reference
         #                 resolves serially after the run, Havac.cpp:145-187)
         #   drain       — final drain (tail pulls + decodes)
+        #   compile     — first-call trace+remote-compile per (maxt, cap)
+        #                 (a subset of dispatch; ~0 on warm processes since
+        #                 the fused cache is module-global)
+        #   ready_wait  — pull time spent waiting for the device to finish
+        #                 the oldest chunk (pipeline bubble: device-bound)
+        #   fetch       — pull time spent actually fetching bytes (host/
+        #                 tunnel-bound; ~0.3 ms when the async D2H landed)
         self.prof: Dict[str, float] = {
-            "dispatch": 0.0, "gate_wait": 0.0, "drain": 0.0,
-            "pull": 0.0, "decode": 0.0, "resolve": 0.0}
+            "dispatch": 0.0, "compile": 0.0, "gate_wait": 0.0, "drain": 0.0,
+            "pull": 0.0, "ready_wait": 0.0, "fetch": 0.0, "decode": 0.0,
+            "resolve": 0.0}
+        self._dispatched = set()
         # Per-chunk resolution in the collector pool: resolve_fn(rows, pos)
         # -> (ResolvedHits, kept_rows, kept_pos). None = caller resolves
         # after the run (serial tail).
@@ -305,13 +358,16 @@ class PipelinedSweep:
         self._compact = _get_compact_jit()
 
         # Clamp chunk geometry so a worst-case (every tile dirty) dispatch
-        # fits the tile budget: with lookahead pipelining ~6 buffers of maxt
-        # tiles are live at once (in-flight dispatches + compaction copies).
-        # This bounds HBM even at realistic p-values where most tiles
-        # contain hits.
+        # fits the tile budget. Since the kernel+compaction fusion the
+        # dirty-tile buffer is a temp INTERNAL to the one fused executable —
+        # device executions serialize, so exactly one tile buffer is ever
+        # live and the budget buys one full-size buffer (the pre-fusion
+        # design kept ~3 in flight). Bigger chunks mean fewer dispatches:
+        # each chunk cycle costs fixed host time (enqueue + pull round trip
+        # on the tunnel), which dominated the 150k sweep at 493 chunks.
         tile_bytes = self._tile_words * 4
-        self._maxt_cap = max(12, min(8192,
-                                     config.tile_budget_bytes // (3 * tile_bytes)))
+        self._maxt_cap = max(12, min(16384,
+                                     config.tile_budget_bytes // tile_bytes))
         K = self.K
         # Uniform chunk shapes: every dispatch shares one (B, S) so the whole
         # run costs exactly one kernel compile (pad rows/columns into the
@@ -419,53 +475,43 @@ class PipelinedSweep:
                                                     self.W // 128, 128)
         return self.jnp.asarray(blocks), lo, hi - lo
 
-    def _dispatch(self, symw, scores_dev, istate, icarry, maxt: int,
-                  reset_dev=None):
-        """Run one chunk; returns (ostate, ocarry, ometa, ocount, otiles,
-        ocnts) — the SWAR kernel emits the ocnts sidecar itself; for the
-        unpacked kernel it is derived by a small reduction."""
-        if self.cfg.packing == 3:
-            return self._mod._ssv_swar_jit(
-                symw, scores_dev, istate, icarry, reset_dev,
-                block_words=self.W3, max_hit_tiles=maxt,
-                interpret=self.cfg.interpret, isolate=self._isolate)
-        if self._isolate:
-            raise NotImplementedError(
-                "isolate_models requires the SWAR kernel (packing=3) or the "
-                "XLA backend")
-        out = self._mod._ssv_pallas_jit(
-            symw, scores_dev, istate, icarry,
-            block_width=self.W, rows_per_strip=self.K,
-            max_hit_tiles=maxt, interpret=self.cfg.interpret)
-        return out + (_get_rowcnt_jit()(out[4]),)
-
     def _get_fused(self, maxt: int, cap: int):
         """One jitted executable for kernel + record compaction: halves the
         per-chunk dispatch count (each enqueue costs ~1.3 ms of host time on
         the tunnel rig) and leaves the dirty-tile buffer internal to the
-        executable. Cached per (maxt, cap); cap growth recompiles once per
-        growth, like the standalone compaction did."""
+        executable. Cached at module level per (geometry, maxt, cap) — see
+        _get_fused_global — so warm runs never recompile; cap growth
+        recompiles once per growth, like the standalone compaction did."""
+        if self._isolate and self.cfg.packing != 3:
+            raise NotImplementedError(
+                "isolate_models requires the SWAR kernel (packing=3) or the "
+                "XLA backend")
         key = (maxt, cap)
         fn = self._fused.get(key)
         if fn is None:
-            dispatch = self._dispatch
-
-            def fused(symw, scores_dev, istate, icarry, reset_dev):
-                out = dispatch(symw, scores_dev, istate, icarry, maxt,
-                               reset_dev)
-                packed = _compact_tiles_impl(out[4], out[5], out[2],
-                                             out[3][0], cap=cap)
-                return out[0], out[1], packed
-
-            fn = self.jax.jit(fused)
+            fn = _get_fused_global(
+                self.cfg.packing,
+                self.W3 if self.cfg.packing == 3 else self.W, self.K, maxt,
+                cap, bool(self.cfg.interpret), self._isolate)
             self._fused[key] = fn
         return fn
 
     def _dispatch_fused(self, symw, scores_dev, istate, icarry, maxt: int,
                         reset_dev, cap: int):
-        """(ostate, ocarry, packed records) in ONE device dispatch."""
-        return self._get_fused(maxt, cap)(symw, scores_dev, istate, icarry,
-                                          reset_dev)
+        """(ostate, ocarry, packed records) in ONE device dispatch.
+
+        The first call per (maxt, cap) this process traces + remote-compiles
+        (blocking); its wall time is attributed to prof["compile"] so run
+        phase tables separate compilation from steady-state dispatch."""
+        key = (maxt, cap)
+        fn = self._get_fused(maxt, cap)
+        if key in self._dispatched:
+            return fn(symw, scores_dev, istate, icarry, reset_dev)
+        t0 = time.perf_counter()
+        out = fn(symw, scores_dev, istate, icarry, reset_dev)
+        self.prof["compile"] += time.perf_counter() - t0
+        self._dispatched.add(key)
+        return out
 
     def _decode_packed(self, packed: np.ndarray, n: int, cap: int, ri: int,
                        lo: int, Lc: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -575,7 +621,16 @@ class PipelinedSweep:
             def drain_one():
                 inputs, packed_dev, cap, ri, lo, Lc = pend.pop(0)
                 t0 = time.perf_counter()
+                try:  # split the pull: device-bound wait vs byte fetch
+                    while not packed_dev.is_ready():
+                        time.sleep(0.0005)
+                except AttributeError:  # pragma: no cover - older jax
+                    pass
+                t1 = time.perf_counter()
                 packed = np.asarray(packed_dev)
+                t2 = time.perf_counter()
+                self.prof["ready_wait"] += t1 - t0
+                self.prof["fetch"] += t2 - t1
                 n = int(packed[0])
                 while n > cap:
                     # Rare: the chunk overflowed the record cap — grow it
@@ -583,8 +638,10 @@ class PipelinedSweep:
                     # are in ``inputs``; one extra ~25 ms kernel run, at
                     # most a handful of times per process as the cap
                     # converges on the workload's density).
+                    global _RECORD_CAP_HINT
                     self.record_cap = max(self.record_cap,
                                           max(cap * 2, round_up(n, 1024)))
+                    _RECORD_CAP_HINT = max(_RECORD_CAP_HINT, self.record_cap)
                     cap = self.record_cap
                     symw_i, istate_i, icarry_i, maxt_i = inputs
                     _, _, pk2 = self._dispatch_fused(

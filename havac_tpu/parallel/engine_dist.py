@@ -12,7 +12,8 @@ DB vs a chromosome, sequence-sharded across one host's chips):
     value the *next* chunk's first row consumes as its diagonal-in).
   * **On-device hit compaction.** Dense (rows/32 × L/D) bitmaps never leave
     HBM: each device compacts nonzero bitmap words to a fixed-capacity
-    (index, word) list with `jnp.nonzero(size=cap)`; only `cap` words cross
+    (index, word) list via the cumsum+searchsorted idiom (measured ~5×
+    faster than `jnp.nonzero(size=cap)` on TPU); only `cap` words cross
     to the host. Overflow is detected via the returned count and retried
     with a larger capacity — the same discipline as the kernel's hit tiles.
 """

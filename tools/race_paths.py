@@ -25,6 +25,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+# Also works under runpy.run_path (which doesn't add this file's directory
+# to sys.path the way direct execution does).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from runtime_table import synthetic_workload  # noqa: E402
 
