@@ -536,8 +536,9 @@ class PipelinedSweep:
         ids = ometa_np[slots]
         S = self._scores_dev[ri].shape[0]
         if self.cfg.packing == 3:
+            # sort=False: the tail group-merge re-sorts globally anyway.
             rows, pos = self._mod.decode_swar_flat(ids, word_idx, words, S,
-                                                   self.W3)
+                                                   self.W3, sort=False)
         else:
             from havac_tpu.hits.decode import decode_flat_records
 

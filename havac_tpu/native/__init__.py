@@ -80,6 +80,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.hv_decode_swar_flat.restype = i64
     lib.hv_decode_swar_flat.argtypes = [pi64, pi64, pu32, i64, i64, i64,
                                         pi64, pi64]
+    try:  # v2 (threaded expand, optional sort); stale builds lack it
+        lib.hv_decode_swar_flat_v2.restype = i64
+        lib.hv_decode_swar_flat_v2.argtypes = [
+            pi64, pi64, pu32, i64, i64, i64, pi64, pi64, ctypes.c_int,
+            ctypes.c_int]
+    except AttributeError:  # pragma: no cover - rebuilt on demand
+        pass
     lib.hv_sort_hits.argtypes = [pi64, pi64, i64, ctypes.c_int]
     try:  # added after the first release of the .so; stale builds lack them
         lib.hv_sort_order.argtypes = [pi64, pi64, i64, ctypes.c_int, pi64]
@@ -178,9 +185,12 @@ def _i64p(a):
 
 
 def decode_swar_flat_native(tile_ids, word_idx, words, num_strips: int,
-                            block_words: int):
-    """Native SWAR record decode → sorted (rows, positions); None when the
-    library is unavailable (callers fall back to the numpy path)."""
+                            block_words: int, sort: bool = True,
+                            nthreads: int = 4):
+    """Native SWAR record decode → (rows, positions), sorted by (row, pos)
+    when ``sort`` (record-ordered otherwise — callers that globally re-sort
+    merged chunks pass sort=False and skip the per-chunk sort entirely);
+    None when the library is unavailable (callers fall back to numpy)."""
     lib = _load()
     if lib is None:
         return None
@@ -193,17 +203,28 @@ def decode_swar_flat_native(tile_ids, word_idx, words, num_strips: int,
     # as hv_sort_hits; bound the decoded coordinates from the tile geometry
     # (max row = strips·30, max pos < (max block + 1)·3·block_words) and
     # fall back to numpy (which guards itself) rather than mis-sort.
-    max_row = num_strips * 30
-    max_pos = (int(ids.max()) // 3 // max(num_strips, 1) + 1) * 3 * block_words
-    if max_row >= _MAX_KEY_ROW or max_pos >= _MAX_KEY_POS:
-        return None
+    if sort:
+        max_row = num_strips * 30
+        max_pos = ((int(ids.max()) // 3 // max(num_strips, 1) + 1)
+                   * 3 * block_words)
+        if max_row >= _MAX_KEY_ROW or max_pos >= _MAX_KEY_POS:
+            return None
     w = np.ascontiguousarray(words).view(np.uint32)
     rows = np.empty(30 * n, dtype=np.int64)
     pos = np.empty(30 * n, dtype=np.int64)
-    m = lib.hv_decode_swar_flat(
-        _i64p(ids), _i64p(widx),
-        w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        n, num_strips, block_words, _i64p(rows), _i64p(pos))
+    if hasattr(lib, "hv_decode_swar_flat_v2"):
+        m = lib.hv_decode_swar_flat_v2(
+            _i64p(ids), _i64p(widx),
+            w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            n, num_strips, block_words, _i64p(rows), _i64p(pos),
+            nthreads, 1 if sort else 0)
+    elif not sort:  # pragma: no cover - stale .so lacks unsorted decode
+        return None
+    else:
+        m = lib.hv_decode_swar_flat(
+            _i64p(ids), _i64p(widx),
+            w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            n, num_strips, block_words, _i64p(rows), _i64p(pos))
     return rows[:m].copy(), pos[:m].copy()
 
 

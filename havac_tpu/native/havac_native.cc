@@ -416,6 +416,72 @@ int64_t hv_decode_swar_flat(const int64_t* ids, const int64_t* word_idx,
   return m;
 }
 
+// v2 of the record decode: threaded two-pass expand (per-thread popcount
+// prefix then parallel bit expansion, preserving record order) and an
+// optional final (row, pos) sort. The engine's pipelined/mesh paths pass
+// do_sort=0 — they globally re-sort the merged chunks anyway, and at
+// genomic hit densities the per-chunk sort was the dominant decode cost
+// (the reference's analog work is its host-side hit walk,
+// `host/Havac.cpp:145-187`).
+int64_t hv_decode_swar_flat_v2(const int64_t* ids, const int64_t* word_idx,
+                               const uint32_t* words, int64_t n,
+                               int64_t num_strips, int64_t block_words,
+                               int64_t* rows_out, int64_t* pos_out,
+                               int nthreads, int do_sort) {
+  const int64_t W3 = block_words;
+  const int64_t W = 3 * W3;
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 64) nthreads = 64;
+  if (n < (1 << 15)) nthreads = 1;  // expansion setup not worth it
+  std::vector<int64_t> offs(static_cast<size_t>(nthreads) + 1, 0);
+  std::vector<std::thread> threads;
+  auto count_range = [&](int t) {
+    const int64_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+    int64_t c = 0;
+    for (int64_t e = lo; e < hi; e++)
+      c += __builtin_popcount(words[e] & 0x3FFFFFFFu);
+    offs[t + 1] = c;
+  };
+  for (int t = 1; t < nthreads; t++) threads.emplace_back(count_range, t);
+  count_range(0);
+  for (auto& th : threads) th.join();
+  threads.clear();
+  for (int t = 0; t < nthreads; t++) offs[t + 1] += offs[t];
+  auto expand_range = [&](int t) {
+    const int64_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+    int64_t m = offs[t];
+    for (int64_t e = lo; e < hi; e++) {
+      const uint32_t w = words[e] & 0x3FFFFFFFu;
+      if (!w) continue;
+      const int64_t id = ids[e];
+      const int64_t flush = id % 3;
+      const int64_t bs = id / 3;
+      const int64_t block = bs / num_strips;
+      const int64_t strip = bs % num_strips;
+      const int64_t row_base = strip * 30 + flush * 10;
+      const int64_t pos_base = block * W + word_idx[e];
+      for (int f = 0; f < 3; f++) {
+        uint32_t field = (w >> (10 * f)) & 0x3FF;
+        if (!field) continue;
+        const int64_t p = pos_base + f * W3;
+        while (field) {
+          const int bit = 31 - __builtin_clz(field);  // highest set bit
+          rows_out[m] = row_base + (9 - bit);
+          pos_out[m] = p;
+          m++;
+          field &= ~(1u << bit);
+        }
+      }
+    }
+  };
+  for (int t = 1; t < nthreads; t++) threads.emplace_back(expand_range, t);
+  expand_range(0);
+  for (auto& th : threads) th.join();
+  const int64_t m = offs[nthreads];
+  if (do_sort) sort_pairs(rows_out, pos_out, m, nthreads);
+  return m;
+}
+
 // In-place parallel sort of parallel (row, position) arrays by (row, pos).
 void hv_sort_hits(int64_t* rows, int64_t* pos, int64_t n, int nthreads) {
   sort_pairs(rows, pos, n, nthreads);

@@ -559,17 +559,24 @@ def decode_swar_flat(
     words: np.ndarray,
     num_strips: int,
     block_words: int,
+    sort: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Flat record decode: entry e is bitmap word ``words[e]`` at position
     ``word_idx[e]`` of the tile whose id is ``tile_ids_per_entry[e]``
-    (id = (block·S + strip)·3 + flush, as in :func:`decode_swar_tiles`)."""
+    (id = (block·S + strip)·3 + flush, as in :func:`decode_swar_tiles`).
+
+    ``sort=False`` returns the pairs UNORDERED (implementation-defined
+    order): the engine's sweep paths re-sort the merged chunks globally, so
+    sorting each chunk here was pure double work — at genomic hit density
+    the per-chunk sort dominated decode time."""
     if words.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     try:
         from havac_tpu import native
 
         out = native.decode_swar_flat_native(
-            tile_ids_per_entry, word_idx, words, num_strips, block_words)
+            tile_ids_per_entry, word_idx, words, num_strips, block_words,
+            sort=sort)
         if out is not None:
             return out
     except Exception:  # pragma: no cover - fall back to numpy
@@ -594,5 +601,7 @@ def decode_swar_flat(
                 pos_out.append(blocks[sel] * W + f * W3 + word_idx[sel])
     rows = np.concatenate(rows_out)
     positions = np.concatenate(pos_out)
+    if not sort:
+        return rows, positions
     order = hit_sort_order(rows, positions)
     return rows[order], positions[order]

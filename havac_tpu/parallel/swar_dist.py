@@ -482,6 +482,6 @@ class SwarDistributedSweep:
             word_idx = idx % self.W3
             ids = ometa[slots]
             rows, pos = decode_swar_flat(ids, word_idx, words,
-                                         S_strips, self.W3)
+                                         S_strips, self.W3, sort=False)
             all_rows.append(rows + s * self.R)
             all_pos.append(pos + d * self.shard_width + c * chunk_width)

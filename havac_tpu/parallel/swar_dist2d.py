@@ -433,7 +433,7 @@ class Swar2DSweep:
             word_idx = idx % self.W3
             ids = ometa[slots]
             rows, pos = decode_swar_flat(ids, word_idx, words, strips,
-                                         self.W3)
+                                         self.W3, sort=False)
             rows = rows + s * self.R
             keep = rows < g_rows[g]
             all_rows.append(rows[keep] + g_row0[g])

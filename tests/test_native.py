@@ -190,6 +190,40 @@ def test_native_decode_swar_flat_parity():
     np.testing.assert_array_equal(got[1], want[1])
 
 
+def test_native_decode_swar_flat_unsorted_parity():
+    """sort=False returns the same hit SET (order implementation-defined),
+    from both the threaded native expand and the numpy fallback."""
+    from havac_tpu.ops.common import hit_sort_order
+    from havac_tpu.ops.ssv_swar import decode_swar_flat
+
+    rng = np.random.default_rng(15)
+    n = 70_000  # above the native single-thread cutoff (1 << 15)
+    num_strips, W3 = 7, 1024
+    ids = rng.integers(0, 4 * num_strips * 3, size=n)
+    widx = rng.integers(0, W3, size=n)
+    words = rng.integers(0, 1 << 30, size=n).astype(np.int32)
+    words[rng.random(n) < 0.3] = 0
+    want = _numpy_decode_swar_flat(ids, widx, words, num_strips, W3)
+    for impl in ("native", "numpy"):
+        if impl == "native":
+            got = native.decode_swar_flat_native(
+                ids, widx, words, num_strips, W3, sort=False)
+            assert got is not None
+        else:  # numpy body: temporarily knock out the native fast path
+            import havac_tpu.native as nat
+            orig = nat.decode_swar_flat_native
+            nat.decode_swar_flat_native = lambda *a, **k: None
+            try:
+                got = decode_swar_flat(ids, widx, words, num_strips, W3,
+                                       sort=False)
+            finally:
+                nat.decode_swar_flat_native = orig
+        assert got[0].shape == want[0].shape
+        o = hit_sort_order(got[0], got[1])
+        np.testing.assert_array_equal(got[0][o], want[0])
+        np.testing.assert_array_equal(got[1][o], want[1])
+
+
 def test_native_sort_hits_parity():
     from havac_tpu.ops.common import hit_sort_order
 
