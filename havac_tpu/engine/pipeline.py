@@ -19,6 +19,7 @@ cheap compaction step) when a chunk is unusually hit-dense.
 from __future__ import annotations
 
 import time
+from dataclasses import replace as dataclasses_replace
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -343,6 +344,24 @@ class PipelinedSweep:
         self._prof_lock = _threading.Lock()  # decode accrues from workers
         self.tile_budget_bytes = config.tile_budget_bytes
         self._fused = {}  # (maxt, cap) -> jitted kernel+compaction
+        # Experiment knobs (fusebench A/B without code edits):
+        #   HAVAC_FUSE=0          — kernel and compaction as two dispatches
+        #                           (round-2 flow) instead of one fused
+        #                           executable. The tile buffer is then a
+        #                           real kernel output with up to lookahead
+        #                           copies live — pair with a budget of
+        #                           (HBM/3) or less, e.g.
+        #                           HAVAC_TILE_BUDGET_GB=2.
+        #   HAVAC_TILE_BUDGET_GB  — override config.tile_budget_bytes
+        import os as _os
+
+        self._fuse = _os.environ.get("HAVAC_FUSE", "1") != "0"
+        _bgb = _os.environ.get("HAVAC_TILE_BUDGET_GB")
+        if _bgb:
+            self.tile_budget_bytes = int(float(_bgb) * (1 << 30))
+            config = dataclasses_replace(config,
+                                         tile_budget_bytes=self.tile_budget_bytes)
+            self.cfg = config
 
         if config.packing == 3:
             from havac_tpu.ops import ssv_swar as mod
@@ -498,19 +517,30 @@ class PipelinedSweep:
 
     def _dispatch_fused(self, symw, scores_dev, istate, icarry, maxt: int,
                         reset_dev, cap: int):
-        """(ostate, ocarry, packed records) in ONE device dispatch.
+        """(ostate, ocarry, packed records) — ONE device dispatch normally;
+        two (kernel, then compaction) under HAVAC_FUSE=0 for A/B runs.
 
         The first call per (maxt, cap) this process traces + remote-compiles
         (blocking); its wall time is attributed to prof["compile"] so run
         phase tables separate compilation from steady-state dispatch."""
         key = (maxt, cap)
-        fn = self._get_fused(maxt, cap)
-        if key in self._dispatched:
-            return fn(symw, scores_dev, istate, icarry, reset_dev)
-        t0 = time.perf_counter()
-        out = fn(symw, scores_dev, istate, icarry, reset_dev)
-        self.prof["compile"] += time.perf_counter() - t0
-        self._dispatched.add(key)
+        first = key not in self._dispatched
+        t0 = time.perf_counter() if first else 0.0
+        if self._fuse:
+            fn = self._get_fused(maxt, cap)
+            out = fn(symw, scores_dev, istate, icarry, reset_dev)
+        else:
+            if self.cfg.packing != 3:
+                raise NotImplementedError("HAVAC_FUSE=0 requires packing=3")
+            o = self._mod._ssv_swar_jit(
+                symw, scores_dev, istate, icarry, reset_dev,
+                block_words=self.W3, max_hit_tiles=maxt,
+                interpret=self.cfg.interpret, isolate=self._isolate)
+            packed = self._compact(o[4], o[5], o[2], o[3][0], cap=cap)
+            out = (o[0], o[1], packed)
+        if first:
+            self.prof["compile"] += time.perf_counter() - t0
+            self._dispatched.add(key)
         return out
 
     def _decode_packed(self, packed: np.ndarray, n: int, cap: int, ri: int,
