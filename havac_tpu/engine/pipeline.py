@@ -227,15 +227,73 @@ _RESOLVED_FIELDS = ("sequence_index", "sequence_position", "phmm_index",
                     "phmm_position")
 
 
-def _merge_group_into(parts, cols, lo: int, hi: int):
-    """Sort one row-chunk group's (ResolvedHits, kept_rows, kept_pos) parts
-    by raw (row, position) key, writing the permuted columns DIRECTLY into
-    rows [lo, hi) of the preallocated result columns — jax-free
-    collector-pool work item (native threaded sort/gather when built, numpy
-    otherwise). Writing in place halves the bytes moved vs
-    merge-then-concatenate; memcpy bandwidth is the tail's bottleneck."""
+def _runs_order(rows, pos, run_sizes):
+    """Permutation (row, pos)-sorting the concatenation of already-sorted
+    runs (run r has run_sizes[r] entries); None means identity (single
+    run). O(n·log k) native pairwise merge when built, full composite-key
+    sort otherwise."""
+    if len(run_sizes) <= 1:
+        return None
+    try:
+        from havac_tpu import native
+    except Exception:  # pragma: no cover
+        native = None
+    if native is not None:
+        offs = np.cumsum([0] + list(run_sizes))
+        order = native.merge_runs_native(rows, pos, offs)
+        if order is None:
+            order = native.sort_order_native(rows, pos)
+        if order is not None:
+            return order
     from havac_tpu.ops.common import hit_sort_order
 
+    return hit_sort_order(rows, pos)
+
+
+def _merge_results_sorted(results, n_row, pool):
+    """Globally sorted (rows, positions) from per-chunk parts that are each
+    already (row, pos)-sorted: per-row-group k-way merges fanned across the
+    pool (groups cover disjoint row ranges, so group slices stacked in ri
+    order are globally sorted)."""
+    groups = [[] for _ in range(n_row)]
+    for ri, r, p, _ in results:
+        if r.size:
+            groups[ri].append((r, p))
+    sizes = [sum(r.size for r, _ in g) for g in groups]
+    total = sum(sizes)
+    if not total:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy()
+    out_r = np.empty(total, dtype=np.int64)
+    out_p = np.empty(total, dtype=np.int64)
+    offs = np.cumsum([0] + sizes)
+
+    def job(g, lo, hi):
+        rows = np.concatenate([r for r, _ in g])
+        pos = np.concatenate([p for _, p in g])
+        order = _runs_order(rows, pos, [r.size for r, _ in g])
+        if order is None:
+            out_r[lo:hi], out_p[lo:hi] = rows, pos
+        else:
+            out_r[lo:hi], out_p[lo:hi] = rows[order], pos[order]
+
+    futs = [pool.submit(job, g, offs[i], offs[i + 1])
+            for i, g in enumerate(groups) if g]
+    for f in futs:
+        f.result()
+    return out_r, out_p
+
+
+def _merge_group_into(parts, cols, lo: int, hi: int):
+    """Merge one row-chunk group's (ResolvedHits, kept_rows, kept_pos) parts
+    by raw (row, position) key, writing the permuted columns DIRECTLY into
+    rows [lo, hi) of the preallocated result columns — jax-free
+    collector-pool work item. Each part arrives already (row, pos)-sorted
+    (the per-chunk sort ran in the collector pool, overlapped with the
+    sweep), so this is an O(n·log k) k-way merge of sorted runs (native
+    pairwise inplace_merge when built; threaded full sort otherwise).
+    Writing in place halves the bytes moved vs merge-then-concatenate;
+    memcpy bandwidth is the tail's bottleneck."""
     krows = [r for _, r, _ in parts if r.size]
     if not krows:
         return
@@ -245,12 +303,13 @@ def _merge_group_into(parts, cols, lo: int, hi: int):
         from havac_tpu import native
     except Exception:  # pragma: no cover
         native = None
-    order = native.sort_order_native(rows, pos) if native else None
-    if order is None:
-        order = hit_sort_order(rows, pos)
+    order = _runs_order(rows, pos, [r.size for r in krows])
     for f, out_col in zip(_RESOLVED_FIELDS, cols):
         col = np.concatenate([np.ascontiguousarray(getattr(t, f))
                               for t, _, _ in parts if len(t)])
+        if order is None:  # single already-sorted run: straight copy
+            out_col[lo:hi] = col
+            continue
         done = (native.permute_i64_native(col, order, out=out_col[lo:hi])
                 if native else None)
         if done is None:
@@ -566,9 +625,13 @@ class PipelinedSweep:
         ids = ometa_np[slots]
         S = self._scores_dev[ri].shape[0]
         if self.cfg.packing == 3:
-            # sort=False: the tail group-merge re-sorts globally anyway.
+            # sort=True: the per-chunk sort runs HERE, in the collector
+            # pool, overlapped with the device sweep (free while the main
+            # thread is device-bound in the gate) — the drain-time tail
+            # then merges the k already-sorted runs per row group in
+            # O(n·log k) instead of re-sorting O(n·log n) after the sweep.
             rows, pos = self._mod.decode_swar_flat(ids, word_idx, words, S,
-                                                   self.W3, sort=False)
+                                                   self.W3, sort=True)
         else:
             from havac_tpu.hits.decode import decode_flat_records
 
@@ -639,6 +702,10 @@ class PipelinedSweep:
                 if not m.any() and ri:
                     continue
                 rs, ps = rows0[m], pos0[m]
+                # Parts must each be (row, pos)-sorted — the drain tail
+                # merges sorted runs; the checkpoint payload interleaves
+                # chunks, so re-sort this group's slice once here.
+                rs, ps = sort_hit_pairs(rs, ps)
                 res0 = (self._resolve_fn(rs, ps)
                         if self._resolve_fn is not None else None)
                 results.append((ri, rs, ps, res0))
@@ -758,7 +825,6 @@ class PipelinedSweep:
                 self.raw_parts = [(r, p) for _, r, p, _ in results]
                 rows = pos = None
             else:
-                rows, pos = _concat_results(results)
-                rows, pos = sort_hit_pairs(rows, pos)
+                rows, pos = _merge_results_sorted(results, self.n_row, pool)
             self.prof["tail_sort"] = time.perf_counter() - t_tail
         return rows, pos, resolved, time.perf_counter() - t_start

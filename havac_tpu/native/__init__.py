@@ -91,6 +91,8 @@ def _load() -> Optional[ctypes.CDLL]:
     try:  # added after the first release of the .so; stale builds lack them
         lib.hv_sort_order.argtypes = [pi64, pi64, i64, ctypes.c_int, pi64]
         lib.hv_permute_i64.argtypes = [pi64, pi64, i64, pi64, ctypes.c_int]
+        lib.hv_merge_runs.argtypes = [pi64, pi64, i64, pi64, i64,
+                                      ctypes.c_int, pi64]
     except AttributeError:  # pragma: no cover - rebuilt on demand
         pass
     lib.hv_resolve_hits.restype = i64
@@ -265,6 +267,27 @@ def sort_order_native(rows, pos, nthreads: int = 8):
     order = np.empty(rows.shape[0], dtype=np.int64)
     lib.hv_sort_order(_i64p(rows), _i64p(pos), rows.shape[0], nthreads,
                       _i64p(order))
+    return order
+
+
+def merge_runs_native(rows, pos, offsets, nthreads: int = 4):
+    """Permutation merging k already-(row, pos)-sorted runs (run r spans
+    [offsets[r], offsets[r+1]) of the concatenated arrays); None when
+    unavailable or when the composite key would overflow — callers fall
+    back to a full sort."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hv_merge_runs"):
+        return None
+    if rows.size and (int(rows.max()) >= _MAX_KEY_ROW
+                      or int(pos.max()) >= _MAX_KEY_POS):
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    offs = np.ascontiguousarray(offsets, dtype=np.int64)
+    k = offs.shape[0] - 1
+    order = np.empty(rows.shape[0], dtype=np.int64)
+    lib.hv_merge_runs(_i64p(rows), _i64p(pos), rows.shape[0], _i64p(offs),
+                      k, nthreads, _i64p(order))
     return order
 
 

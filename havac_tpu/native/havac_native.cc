@@ -621,6 +621,46 @@ void hv_sort_order(const int64_t* rows, const int64_t* pos, int64_t n,
     order[i] = keyed[static_cast<size_t>(i)].second;
 }
 
+// Permutation that MERGES k already-sorted runs of (rows, pos) — the tail
+// of the engine's overlapped sort design: per-chunk sorts run in collector
+// threads while the device sweeps (free when device-bound), so the
+// after-sweep tail only pays this O(n·log k) pairwise merge instead of a
+// full O(n·log n) sort. offs has k+1 entries (run r = [offs[r], offs[r+1])
+// within the concatenated arrays); order receives the global permutation.
+void hv_merge_runs(const int64_t* rows, const int64_t* pos, int64_t n,
+                   const int64_t* offs, int64_t k, int nthreads,
+                   int64_t* order) {
+  if (n <= 0) return;
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 64) nthreads = 64;
+  std::vector<std::pair<uint64_t, int64_t>> keyed(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; i++)
+    keyed[static_cast<size_t>(i)] = {hit_key(rows[i], pos[i]), i};
+  // Pairwise in-place merges, independent pairs of runs in parallel.
+  std::vector<int64_t> bounds(offs, offs + k + 1);
+  int64_t width = 1;
+  while (width < k) {
+    std::vector<std::thread> mergers;
+    for (int64_t i = 0; i + width < k; i += 2 * width) {
+      auto job = [&, i] {
+        std::inplace_merge(
+            keyed.begin() + bounds[static_cast<size_t>(i)],
+            keyed.begin() + bounds[static_cast<size_t>(i + width)],
+            keyed.begin() + bounds[static_cast<size_t>(
+                std::min(i + 2 * width, k))]);
+      };
+      if (static_cast<int>(mergers.size()) < nthreads - 1)
+        mergers.emplace_back(job);
+      else
+        job();
+    }
+    for (auto& th : mergers) th.join();
+    width *= 2;
+  }
+  for (int64_t i = 0; i < n; i++)
+    order[i] = keyed[static_cast<size_t>(i)].second;
+}
+
 // Threaded 64-bit gather: dst[i] = src[order[i]] — reordering resolved-hit
 // columns by a precomputed sort permutation at memory speed.
 void hv_permute_i64(const int64_t* src, const int64_t* order, int64_t n,

@@ -332,6 +332,8 @@ def _ssv_swar_jit(
     istate_blocks,  # (B, WS, 128) int32 packed
     icarry,  # (ROWS1,) int32
     reset_rows_arr=None,  # (S·K,) int32, required when isolate=True
+    tiles_buf=None,  # (maxt, WS, 128) int32 — donated, aliased to otiles
+    cnts_buf=None,  # (maxt, 8, 128) int32 — donated, aliased to ocnts
     *,
     block_words: int,
     max_hit_tiles: int,

@@ -259,3 +259,28 @@ def test_native_resolve_hits_parity():
     np.testing.assert_array_equal(got[1], want.sequence_position)
     np.testing.assert_array_equal(got[2], want.phmm_index)
     np.testing.assert_array_equal(got[3], want.phmm_position)
+
+
+def test_native_merge_runs_parity():
+    from havac_tpu.ops.common import hit_sort_order
+
+    rng = np.random.default_rng(8)
+    for k in (2, 3, 7, 16):
+        parts = []
+        for _ in range(k):
+            n = int(rng.integers(0, 20_000))
+            r = rng.integers(0, 100_000, size=n).astype(np.int64)
+            p = rng.integers(0, 1 << 22, size=n).astype(np.int64)
+            o = hit_sort_order(r, p)
+            parts.append((r[o], p[o]))
+        rows = np.concatenate([r for r, _ in parts])
+        pos = np.concatenate([p for _, p in parts])
+        offs = np.cumsum([0] + [r.size for r, _ in parts])
+        order = native.merge_runs_native(rows, pos, offs)
+        assert order is not None
+        want = hit_sort_order(rows, pos)
+        np.testing.assert_array_equal(rows[order], rows[want])
+        np.testing.assert_array_equal(pos[order], pos[want])
+    # Out-of-key-range coordinates must refuse (caller falls back to sort).
+    big = np.array([1 << 40], dtype=np.int64)
+    assert native.merge_runs_native(big, big, np.array([0, 1])) is None
