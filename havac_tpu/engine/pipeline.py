@@ -18,6 +18,7 @@ cheap compaction step) when a chunk is unusually hit-dense.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import replace as dataclasses_replace
 from typing import Dict, List, Optional, Tuple
@@ -60,14 +61,25 @@ def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
     if packing == 3:
         from havac_tpu.ops import ssv_swar as mod
 
-        def fused(symw, scores_dev, istate, icarry, reset_dev):
+        # The multi-GB dirty-tile buffer and its count sidecar are DONATED
+        # and returned: the engine rethreads them dispatch-to-dispatch so
+        # exactly ONE copy lives in HBM. Without donation each enqueued
+        # dispatch allocates a fresh temp at enqueue time — a lookahead-k
+        # pipeline then holds k tile buffers live, and at the round-3
+        # 6 GB budget that overcommits HBM and stalls the dispatch queue.
+        def fused(symw, scores_dev, istate, icarry, reset_dev, tiles_buf,
+                  cnts_buf):
             out = mod._ssv_swar_jit(
-                symw, scores_dev, istate, icarry, reset_dev,
-                block_words=block_words, max_hit_tiles=maxt,
+                symw, scores_dev, istate, icarry, reset_dev, tiles_buf,
+                cnts_buf, block_words=block_words, max_hit_tiles=maxt,
                 interpret=interpret, isolate=isolate)
             packed = _compact_tiles_impl(out[4], out[5], out[2], out[3][0],
                                          cap=cap)
-            return out[0], out[1], packed
+            return out[0], out[1], packed, out[4], out[5]
+
+        fn = jax.jit(fused, donate_argnums=(5, 6))
+        _FUSED_CACHE[key] = fn
+        return fn
     else:
         from havac_tpu.ops import ssv_pallas as mod
 
@@ -403,6 +415,8 @@ class PipelinedSweep:
         self._prof_lock = _threading.Lock()  # decode accrues from workers
         self.tile_budget_bytes = config.tile_budget_bytes
         self._fused = {}  # (maxt, cap) -> jitted kernel+compaction
+        self._tiles_dev = None  # chained donated hit buffers (_hit_bufs)
+        self._cnts_dev = None
         # Experiment knobs (fusebench A/B without code edits):
         #   HAVAC_FUSE=0          — kernel and compaction as two dispatches
         #                           (round-2 flow) instead of one fused
@@ -574,6 +588,24 @@ class PipelinedSweep:
             self._fused[key] = fn
         return fn
 
+    def _hit_bufs(self, maxt: int):
+        """The chained donated hit buffers for the fused executable: one
+        (maxt, WS, 128) tile buffer + one (maxt, 8, 128) count sidecar,
+        allocated once per sweep (maxt is constant across a run's uniform
+        chunks) and rethreaded dispatch-to-dispatch — each call donates the
+        previous dispatch's output handles, so exactly one tile buffer is
+        live in HBM no matter the lookahead. If a handle is still consumed
+        by an in-flight dispatch (overflow re-dispatch), the runtime falls
+        back to a copy — contents are scratch, so that is merely a rare
+        transient second buffer, never a correctness issue."""
+        if (self._tiles_dev is None
+                or self._tiles_dev.shape[0] != maxt):
+            jnp = self.jnp
+            WS = self.W3 // 128
+            self._tiles_dev = jnp.zeros((maxt, WS, 128), jnp.int32)
+            self._cnts_dev = jnp.zeros((maxt, 8, 128), jnp.int32)
+        return self._tiles_dev, self._cnts_dev
+
     def _dispatch_fused(self, symw, scores_dev, istate, icarry, maxt: int,
                         reset_dev, cap: int):
         """(ostate, ocarry, packed records) — ONE device dispatch normally;
@@ -587,7 +619,14 @@ class PipelinedSweep:
         t0 = time.perf_counter() if first else 0.0
         if self._fuse:
             fn = self._get_fused(maxt, cap)
-            out = fn(symw, scores_dev, istate, icarry, reset_dev)
+            if self.cfg.packing == 3:
+                tiles, cnts = self._hit_bufs(maxt)
+                (ostate, ocarry, packed, self._tiles_dev,
+                 self._cnts_dev) = fn(symw, scores_dev, istate, icarry,
+                                      reset_dev, tiles, cnts)
+                out = (ostate, ocarry, packed)
+            else:
+                out = fn(symw, scores_dev, istate, icarry, reset_dev)
         else:
             if self.cfg.packing != 3:
                 raise NotImplementedError("HAVAC_FUSE=0 requires packing=3")
@@ -658,7 +697,7 @@ class PipelinedSweep:
 
     # ----------------------------------------------------------------- run
 
-    def run(self, abort_event=None, progress=None, lookahead: int = 3,
+    def run(self, abort_event=None, progress=None, lookahead: int = None,
             checkpoint_cb=None, resume=None
             ) -> Optional[Tuple[np.ndarray, np.ndarray, float]]:
         """Full pipelined sweep; returns (rows, positions, resolved,
@@ -682,6 +721,11 @@ class PipelinedSweep:
         """
         from concurrent.futures import ThreadPoolExecutor
 
+        if lookahead is None:
+            # Depth 3 hides the dispatch+pull round trip; HAVAC_LOOKAHEAD
+            # is an A/B knob (with the donated tile buffer, depth no longer
+            # multiplies HBM footprint).
+            lookahead = int(os.environ.get("HAVAC_LOOKAHEAD", "3"))
         jnp = self.jnp
         t_start = time.perf_counter()
         futures: List = []

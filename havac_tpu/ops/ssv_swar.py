@@ -354,6 +354,15 @@ def _ssv_swar_jit(
     grid = (B, S)
     kernel = functools.partial(_ssv_swar_kernel, K=K, WS=WS, isolate=isolate,
                                debug_rows=debug_rows)
+    if tiles_buf is not None:
+        # The aliased inputs append two refs after [reset]; the kernel body
+        # never reads them (aliasing only supplies the buffers), so drop
+        # them before delegating.
+        nin = 4 + (1 if isolate else 0)
+        inner_kernel = kernel
+
+        def kernel(*refs):  # noqa: F811 - deliberate wrapper
+            inner_kernel(*refs[:nin], *refs[nin + 2:])
     in_specs = [
         pl.BlockSpec((1, K, 4), lambda b, s: (s, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, WS, 128), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -366,6 +375,23 @@ def _ssv_swar_jit(
             reset_rows_arr = jnp.zeros(S * K, jnp.int32)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(reset_rows_arr)
+    # Optional donated hit buffers: otiles/ocnts are the kernel's largest
+    # outputs (the tile buffer is sized by the engine's multi-GB budget);
+    # without aliasing each enqueued dispatch allocates a FRESH buffer at
+    # enqueue time, so a lookahead-k pipeline holds k of them live in HBM.
+    # Aliasing them to caller-owned buffers (donated by the engine's fused
+    # jit and rethreaded dispatch-to-dispatch) keeps exactly one copy live.
+    # Stale contents are harmless: every live slot < ocount is fully
+    # DMA-written by this execution, and the host/compaction mask slots by
+    # the count.
+    io_aliases = {}
+    if tiles_buf is not None:
+        nin_base = len(inputs)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        inputs.append(tiles_buf)
+        inputs.append(cnts_buf)
+        io_aliases = {nin_base: 4, nin_base + 1: 5}
     out_specs = [
         pl.BlockSpec((1, WS, 128), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -396,6 +422,7 @@ def _ssv_swar_jit(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        input_output_aliases=io_aliases,
         scratch_shapes=[
             pltpu.VMEM((WS, 128), jnp.int32),  # state
             pltpu.VMEM((2, WS, 128), jnp.int32),  # bits double-buffer

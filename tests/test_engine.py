@@ -472,3 +472,31 @@ def test_warmup_invalidated_by_reload():
     assert eng._warm_sweep is None
     eng.run()
     assert_hits_equal(eng.hits(), oracle_resolved(eng))
+
+
+def test_record_cap_overflow_retry_pipelined():
+    """A chunk whose hit records exceed the adaptive record cap must be
+    re-dispatched at a grown cap (drain_one's retry loop — which since the
+    donated-tile-buffer design re-dispatches with the in-chain buffers) and
+    still produce oracle-exact hits."""
+    from havac_tpu.engine import pipeline as pl_mod
+
+    models, records = generate_planted_fixture(
+        seed=23, model_length=40, sequence_length=6000, num_models=2)
+    db = load_fasta_database(fasta_text(records), pad_multiple=CFG.block_width,
+                             is_text=True)
+    engine = Havac(p_value=P_VALUE, config=CFG, backend="pallas_interpret",
+                   chunk_symbols=2048)
+    engine.load_phmm(models).load_sequence(db)
+    hint0 = pl_mod._RECORD_CAP_HINT
+    try:
+        pl_mod._RECORD_CAP_HINT = 0
+        sweep = engine._build_pipelined_sweep()
+        sweep.record_cap = 8  # force the overflow retry on real chunks
+        engine._warm_sweep = sweep
+        engine.run()
+        assert sweep.overflow_retries > 0
+        assert sweep.record_cap > 8
+        assert_hits_equal(engine.hits(), oracle_resolved(engine))
+    finally:
+        pl_mod._RECORD_CAP_HINT = hint0

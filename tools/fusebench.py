@@ -144,10 +144,16 @@ def main() -> int:
             return np.asarray(pk[:1])
 
         def run_fused(n):
+            # Donated tile/count buffers rethreaded dispatch-to-dispatch —
+            # the production flow: one tile buffer live regardless of how
+            # many dispatches are enqueued.
             st, pk = istate0, None
+            tiles = jnp.zeros((maxt, WS, 128), jnp.int32)
+            cnts = jnp.zeros((maxt, 8, 128), jnp.int32)
             for _ in range(n):
-                o = fused(symw, scores_dev, st, icarry0, reset_dev)
-                st, pk = o[0], o[2]
+                o = fused(symw, scores_dev, st, icarry0, reset_dev, tiles,
+                          cnts)
+                st, pk, tiles, cnts = o[0], o[2], o[3], o[4]
                 del o
             return np.asarray(pk[:1])
 
