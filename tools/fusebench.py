@@ -43,9 +43,17 @@ def main() -> int:
     ap.add_argument("--seq-len", type=int, default=50_818_468)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--interpret", action="store_true",
+                    help="interpret-mode kernels (CPU smoke test of the "
+                         "harness itself; timings are meaningless)")
     args = ap.parse_args()
 
     import jax
+
+    if args.interpret:
+        # CPU smoke: must pin the platform before any backend init (the
+        # axon sitecustomize preloads jax; JAX_PLATFORMS env is ineffective).
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from havac_tpu.engine import Havac
@@ -54,7 +62,15 @@ def main() -> int:
     from havac_tpu.ops.common import round_up
 
     models, seq = synthetic_workload(args.positions, args.seq_len)
-    engine = Havac(p_value=0.02)
+    if args.interpret:
+        from havac_tpu.ops.common import SsvKernelConfig
+
+        engine = Havac(p_value=0.02, backend="pallas",
+                       config=SsvKernelConfig.swar(block_width=6144,
+                                                   interpret=True),
+                       chunk_symbols=12288, chunk_rows=60)
+    else:
+        engine = Havac(p_value=0.02)
     engine.load_phmm(models)
     db = SequenceDatabase(codes=seq, starts=np.array([0, len(seq) + 1]),
                           lengths=np.array([len(seq)]), names=["synth-chr"],
@@ -71,7 +87,8 @@ def main() -> int:
 
     for geom, budget in (("r3", engine.config.tile_budget_bytes),
                          ("r2", engine.config.tile_budget_bytes // 3)):
-        cfg = dataclasses.replace(engine.config, tile_budget_bytes=budget)
+        cfg = dataclasses.replace(engine.config, tile_budget_bytes=budget,
+                                  interpret=args.interpret)
         sweep = PipelinedSweep(codes, engine.scores, cfg,
                                engine.chunk_symbols, engine.chunk_rows)
         from havac_tpu.ops import ssv_swar as mod
@@ -97,7 +114,15 @@ def main() -> int:
             return mod._ssv_swar_jit(
                 symw, scores_dev, istate, icarry, reset_dev,
                 block_words=sweep.W3, max_hit_tiles=maxt,
-                interpret=False, isolate=sweep._isolate)
+                interpret=args.interpret, isolate=sweep._isolate)
+
+        # Kernel-only with DONATED hit buffers rethreaded dispatch-to-
+        # dispatch (the production memory discipline, minus compaction):
+        # at the r3 geometry the tile buffer is ~6 GiB, so undonated
+        # chains (each enqueue allocates a fresh output buffer) overcommit
+        # HBM at reps+1 in flight — exactly the failure mode the engine's
+        # donation fix removed.
+        kdon = _get_kernel_donated(jax, mod, sweep, maxt, args.interpret)
 
         # Converge the record cap on chunk 0's density (2x margin).
         k0 = kdisp(istate0, icarry0)
@@ -143,6 +168,17 @@ def main() -> int:
                 del o
             return np.asarray(pk[:1])
 
+        def run_kernel_donated(n):
+            st, cnt = istate0, None
+            tiles = jnp.zeros((maxt, WS, 128), jnp.int32)
+            cnts = jnp.zeros((maxt, 8, 128), jnp.int32)
+            for _ in range(n):
+                o = kdon(symw, scores_dev, st, icarry0, reset_dev, tiles,
+                         cnts)
+                st, cnt, tiles, cnts = o[0], o[3], o[4], o[5]
+                del o
+            return np.asarray(cnt[:1])
+
         def run_fused(n):
             # Donated tile/count buffers rethreaded dispatch-to-dispatch —
             # the production flow: one tile buffer live regardless of how
@@ -157,32 +193,69 @@ def main() -> int:
                 del o
             return np.asarray(pk[:1])
 
-        variants = [("compact", run_compact), ("kernel", run_kernel),
-                    ("k+c", run_kc), ("fused", run_fused)]
-        for name, fn in variants:
-            if name == "kernel":
+        # Undonated chains (kernel / k+c: the round-2 production flow) hold
+        # one fresh tile buffer PER ENQUEUED DISPATCH in HBM (enqueue runs
+        # far ahead of execution), so their chain length is clamped to keep
+        # the in-flight footprint under ~10 GiB — at the r3 geometry
+        # (~6 GiB buffers on a 16 GiB chip) that means 1 rep; never risk a
+        # RESOURCE_EXHAUSTED mid-batch.
+        tile_bytes = maxt * sweep._tile_words * 4
+        undon_reps = max(0, min(args.reps,
+                                int(10 * 2**30 // max(tile_bytes, 1)) - 1))
+        variants = [("compact", run_compact, args.reps)]
+        if undon_reps:
+            variants += [("kernel", run_kernel, undon_reps),
+                         ("k+c", run_kc, undon_reps)]
+        variants += [("kernel-don", run_kernel_donated, args.reps),
+                     ("fused", run_fused, args.reps)]
+        for name, fn, reps in variants:
+            if name in ("kernel", "kernel-don") and k0 is not None:
                 del k0  # free the retained tile buffer (several GiB)
+                k0 = None
             fn(1)  # compile + warm
             t0 = time.perf_counter()
             fn(1)
             t1 = time.perf_counter() - t0
             t0 = time.perf_counter()
-            fn(args.reps + 1)
+            fn(reps + 1)
             tn = time.perf_counter() - t0
-            per = (tn - t1) / args.reps
+            per = (tn - t1) / reps
             gc = cells / per / 1e9 if name != "compact" else 0.0
             ginfo["variants"][name] = {
-                "ms_per_chunk": round(per * 1e3, 2),
+                "ms_per_chunk": round(per * 1e3, 2), "reps": reps,
                 "gcups": round(gc, 1), "t1": round(t1, 3),
                 "tn": round(tn, 3)}
-            print(f"  {name:8s} {per * 1e3:8.2f} ms/chunk"
-                  + (f"  {gc:7.1f} GCUPS" if gc else ""), flush=True)
+            print(f"  {name:10s} {per * 1e3:8.2f} ms/chunk"
+                  + (f"  {gc:7.1f} GCUPS" if gc else "")
+                  + (f"  (reps={reps})" if reps != args.reps else ""),
+                  flush=True)
 
     if args.json:
         with open(args.json, "w") as f:
             json.dump(out, f, indent=2)
         print(f"# wrote {args.json}")
     return 0
+
+
+_KDON_CACHE = {}
+
+
+def _get_kernel_donated(jax, mod, sweep, maxt: int, interpret: bool):
+    """Kernel-only executable with donated tile/count buffers (argnums 5, 6)
+    — the fused flow's memory discipline without the compaction epilogue."""
+    key = (sweep.W3, maxt, sweep._isolate, interpret)
+    fn = _KDON_CACHE.get(key)
+    if fn is None:
+        W3, isolate = sweep.W3, sweep._isolate
+
+        def kern(symw, sc, ist, ic, rs, tb, cb):
+            return mod._ssv_swar_jit(
+                symw, sc, ist, ic, rs, tb, cb, block_words=W3,
+                max_hit_tiles=maxt, interpret=interpret, isolate=isolate)
+
+        fn = jax.jit(kern, donate_argnums=(5, 6))
+        _KDON_CACHE[key] = fn
+    return fn
 
 
 _COMPACT_CACHE = {}
