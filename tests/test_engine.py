@@ -500,3 +500,46 @@ def test_record_cap_overflow_retry_pipelined():
         assert_hits_equal(engine.hits(), oracle_resolved(engine))
     finally:
         pl_mod._RECORD_CAP_HINT = hint0
+
+
+SWAR_CFG = SsvKernelConfig.swar(block_width=3072, interpret=True)
+
+
+def test_swar_pipelined_end_to_end_matches_oracle():
+    """The production configuration — pipelined engine, SWAR kernel
+    (packing=3), fused kernel+compaction with donated tile buffers — at
+    interpret-mode geometry, chunked in both axes, vs the scalar oracle."""
+    models, records = generate_planted_fixture(
+        seed=41, model_length=40, sequence_length=15000, num_models=3)
+    db = load_fasta_database(fasta_text(records), pad_multiple=3072,
+                             is_text=True)
+    engine = Havac(p_value=P_VALUE, config=SWAR_CFG,
+                   backend="pallas_interpret", chunk_symbols=6144,
+                   chunk_rows=60)
+    engine.load_phmm(models).load_sequence(db).run()
+    assert engine.stats.num_chunks > 1
+    want = oracle_resolved(engine)
+    assert len(want) > 0, "fixture must plant hits"
+    assert_hits_equal(engine.hits(), want)
+
+
+def test_swar_pipelined_unfused_knob_is_exact(monkeypatch):
+    """HAVAC_FUSE=0 (two-dispatch round-2 flow, the fusebench A/B knob)
+    must produce hits identical to the fused default."""
+    models, records = generate_planted_fixture(
+        seed=43, model_length=32, sequence_length=9000, num_models=2)
+    db = load_fasta_database(fasta_text(records), pad_multiple=3072,
+                             is_text=True)
+
+    def run():
+        e = Havac(p_value=P_VALUE, config=SWAR_CFG,
+                  backend="pallas_interpret", chunk_symbols=6144,
+                  chunk_rows=60)
+        e.load_phmm(models).load_sequence(db).run()
+        return e
+
+    fused = run()
+    monkeypatch.setenv("HAVAC_FUSE", "0")
+    unfused = run()
+    assert_hits_equal(fused.hits(), unfused.hits())
+    assert_hits_equal(fused.hits(), oracle_resolved(fused))
