@@ -239,11 +239,17 @@ _RESOLVED_FIELDS = ("sequence_index", "sequence_position", "phmm_index",
                     "phmm_position")
 
 
-def _runs_order(rows, pos, run_sizes):
+def _runs_order(rows, pos, run_sizes, nthreads: int = 1):
     """Permutation (row, pos)-sorting the concatenation of already-sorted
     runs (run r has run_sizes[r] entries); None means identity (single
     run). O(n·log k) native pairwise merge when built, full composite-key
-    sort otherwise."""
+    sort otherwise.
+
+    ``nthreads`` defaults to 1 because every caller fans groups across the
+    collector pool already: nesting the natives' own 4-8-way thread spawns
+    under 8 concurrent pool jobs oversubscribed this 1-core (≈8-effective)
+    VM ~8x and measured 8-24 s for the 150k drain tail vs 0.7 s
+    single-threaded-per-job (callers with few groups raise it)."""
     if len(run_sizes) <= 1:
         return None
     try:
@@ -252,9 +258,9 @@ def _runs_order(rows, pos, run_sizes):
         native = None
     if native is not None:
         offs = np.cumsum([0] + list(run_sizes))
-        order = native.merge_runs_native(rows, pos, offs)
+        order = native.merge_runs_native(rows, pos, offs, nthreads=nthreads)
         if order is None:
-            order = native.sort_order_native(rows, pos)
+            order = native.sort_order_native(rows, pos, nthreads=nthreads)
         if order is not None:
             return order
     from havac_tpu.ops.common import hit_sort_order
@@ -279,11 +285,12 @@ def _merge_results_sorted(results, n_row, pool):
     out_r = np.empty(total, dtype=np.int64)
     out_p = np.empty(total, dtype=np.int64)
     offs = np.cumsum([0] + sizes)
+    nt = max(1, 8 // max(1, sum(1 for g in groups if g)))
 
     def job(g, lo, hi):
         rows = np.concatenate([r for r, _ in g])
         pos = np.concatenate([p for _, p in g])
-        order = _runs_order(rows, pos, [r.size for r, _ in g])
+        order = _runs_order(rows, pos, [r.size for r, _ in g], nthreads=nt)
         if order is None:
             out_r[lo:hi], out_p[lo:hi] = rows, pos
         else:
@@ -296,7 +303,7 @@ def _merge_results_sorted(results, n_row, pool):
     return out_r, out_p
 
 
-def _merge_group_into(parts, cols, lo: int, hi: int):
+def _merge_group_into(parts, cols, lo: int, hi: int, nthreads: int = 1):
     """Merge one row-chunk group's (ResolvedHits, kept_rows, kept_pos) parts
     by raw (row, position) key, writing the permuted columns DIRECTLY into
     rows [lo, hi) of the preallocated result columns — jax-free
@@ -315,14 +322,16 @@ def _merge_group_into(parts, cols, lo: int, hi: int):
         from havac_tpu import native
     except Exception:  # pragma: no cover
         native = None
-    order = _runs_order(rows, pos, [r.size for r in krows])
+    order = _runs_order(rows, pos, [r.size for r in krows],
+                        nthreads=nthreads)
     for f, out_col in zip(_RESOLVED_FIELDS, cols):
         col = np.concatenate([np.ascontiguousarray(getattr(t, f))
                               for t, _, _ in parts if len(t)])
         if order is None:  # single already-sorted run: straight copy
             out_col[lo:hi] = col
             continue
-        done = (native.permute_i64_native(col, order, out=out_col[lo:hi])
+        done = (native.permute_i64_native(col, order, out=out_col[lo:hi],
+                                          nthreads=nthreads)
                 if native else None)
         if done is None:
             out_col[lo:hi] = col[order]
@@ -349,7 +358,8 @@ def _concat_resolved(results, n_row, pool):
         return ResolvedHits(*(np.empty(0, dtype=np.int64),) * 4)
     cols = [np.empty(total, dtype=np.int64) for _ in _RESOLVED_FIELDS]
     offs = np.cumsum([0] + sizes)
-    futs = [pool.submit(_merge_group_into, g, cols, offs[i], offs[i + 1])
+    nt = max(1, 8 // max(1, sum(1 for g in groups if g)))
+    futs = [pool.submit(_merge_group_into, g, cols, offs[i], offs[i + 1], nt)
             for i, g in enumerate(groups) if g]
     for f in futs:
         f.result()
