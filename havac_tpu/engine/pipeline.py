@@ -679,8 +679,13 @@ class PipelinedSweep:
             # thread is device-bound in the gate) — the drain-time tail
             # then merges the k already-sorted runs per row group in
             # O(n·log k) instead of re-sorting O(n·log n) after the sweep.
+            # nthreads=1: this runs on one of 4 collector-pool workers; the
+            # native decode spawning its standalone default (4) on top
+            # oversubscribes the ~8-effective-core VM (measured 30 ms/chunk
+            # at genomic density vs 17 ms single-threaded per job).
             rows, pos = self._mod.decode_swar_flat(ids, word_idx, words, S,
-                                                   self.W3, sort=True)
+                                                   self.W3, sort=True,
+                                                   nthreads=1)
         else:
             from havac_tpu.hits.decode import decode_flat_records
 

@@ -589,6 +589,7 @@ def decode_swar_flat(
     num_strips: int,
     block_words: int,
     sort: bool = True,
+    nthreads: int = 4,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Flat record decode: entry e is bitmap word ``words[e]`` at position
     ``word_idx[e]`` of the tile whose id is ``tile_ids_per_entry[e]``
@@ -597,7 +598,12 @@ def decode_swar_flat(
     ``sort=False`` returns the pairs UNORDERED (implementation-defined
     order): the engine's sweep paths re-sort the merged chunks globally, so
     sorting each chunk here was pure double work — at genomic hit density
-    the per-chunk sort dominated decode time."""
+    the per-chunk sort dominated decode time.
+
+    ``nthreads`` caps the native decode's own thread spawns; callers that
+    fan chunks across a pool must pass 1 (see CLAUDE.md: nested spawns
+    measured 8-24 s stalls on this 1-core VM). The default suits
+    main-thread calls only."""
     if words.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     try:
@@ -605,7 +611,7 @@ def decode_swar_flat(
 
         out = native.decode_swar_flat_native(
             tile_ids_per_entry, word_idx, words, num_strips, block_words,
-            sort=sort)
+            sort=sort, nthreads=nthreads)
         if out is not None:
             return out
     except Exception:  # pragma: no cover - fall back to numpy
