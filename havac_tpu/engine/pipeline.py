@@ -38,11 +38,23 @@ def _get_compact_jit():
     return _COMPACT_JIT
 
 
+def _get_compact_split_jit():
+    global _COMPACT_SPLIT_JIT
+    if _COMPACT_SPLIT_JIT is None:
+        import jax
+
+        _COMPACT_SPLIT_JIT = jax.jit(_compact_tiles_split,
+                                     static_argnames=("cap",))
+    return _COMPACT_SPLIT_JIT
+
+
 _COMPACT_JIT = None
+_COMPACT_SPLIT_JIT = None
 
 
 def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
-                      maxt: int, cap: int, interpret: bool, isolate: bool):
+                      maxt: int, cap: int, interpret: bool, isolate: bool,
+                      split: bool = False):
     """Module-level cache of the fused kernel+compaction executable.
 
     MUST be global, not per-sweep: the engine builds a fresh PipelinedSweep
@@ -52,7 +64,7 @@ def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
     an instance-level cache put ~10 s of recompilation inside every timed
     run (the round-2 design's module-level kernel jit had no such cost)."""
     key = (packing, block_words, rows_per_strip, maxt, cap, interpret,
-           isolate)
+           isolate, split)
     fn = _FUSED_CACHE.get(key)
     if fn is not None:
         return fn
@@ -73,6 +85,10 @@ def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
                 symw, scores_dev, istate, icarry, reset_dev, tiles_buf,
                 cnts_buf, block_words=block_words, max_hit_tiles=maxt,
                 interpret=interpret, isolate=isolate)
+            if split:
+                header, rec = _compact_tiles_split(
+                    out[4], out[5], out[2], out[3][0], cap=cap)
+                return out[0], out[1], header, rec, out[4], out[5]
             packed = _compact_tiles_impl(out[4], out[5], out[2], out[3][0],
                                          cap=cap)
             return out[0], out[1], packed, out[4], out[5]
@@ -108,6 +124,14 @@ _FUSED_CACHE: Dict = {}
 _RECORD_CAP_HINT = 0  # process-wide learned record cap (see PipelinedSweep)
 
 
+def _pull_bucket(k: int) -> int:
+    """Smallest power of two ≥ k (min 4096). Slice-pull lengths are bucketed
+    because every DISTINCT slice shape is its own executable — i.e. a remote
+    compile on this rig — so the pull pays at most 2× the valid bytes in
+    exchange for ≤ log2(2·cap/4096) compiled slice shapes per process."""
+    return 1 << max(12, (int(k) - 1).bit_length())
+
+
 def _compact_tiles_impl(otiles, ocnts, ometa, count, cap: int):
     """On-device tile→record compaction: nonzero bitmap words of the first
     ``count`` tiles as (flat index, word) pairs. Only ``cap`` records cross
@@ -138,6 +162,34 @@ def _compact_tiles_impl(otiles, ocnts, ometa, count, cap: int):
 
     Packed layout (one D2H round trip): [nrec, ometa(maxt), idx(cap),
     words(cap)]."""
+    import jax.numpy as jnp
+
+    nrec, idx, words = _compact_tiles_core(otiles, ocnts, count, cap)
+    return jnp.concatenate([nrec[None].astype(jnp.int32),
+                            ometa.astype(jnp.int32), idx.astype(jnp.int32),
+                            words.astype(jnp.int32)])
+
+
+def _compact_tiles_split(otiles, ocnts, ometa, count, cap: int):
+    """:func:`_compact_tiles_impl` with a split, slice-pullable layout:
+    ``header = [nrec, ometa(maxt)]`` (small, prefetched async per chunk) and
+    ``records`` = the (idx, word) pairs INTERLEAVED, so the valid data is the
+    contiguous prefix ``records[:2·nrec]`` — the host pulls a power-of-two
+    bucket of that prefix instead of the full cap-sized vector. At dense hit
+    regimes the cap converges on the densest chunk (it only grows), so
+    cap-sized pulls billed every chunk for the worst one; prefix pulls cost
+    ~8·nrec bytes + one tiny cached slice dispatch."""
+    import jax.numpy as jnp
+
+    nrec, idx, words = _compact_tiles_core(otiles, ocnts, count, cap)
+    header = jnp.concatenate([nrec[None].astype(jnp.int32),
+                              ometa.astype(jnp.int32)])
+    rec = jnp.stack([idx.astype(jnp.int32), words.astype(jnp.int32)],
+                    axis=1).reshape(-1)
+    return header, rec
+
+
+def _compact_tiles_core(otiles, ocnts, count, cap: int):
     import jax.numpy as jnp
 
     maxt, WS, _ = otiles.shape
@@ -200,9 +252,7 @@ def _compact_tiles_impl(otiles, ocnts, ometa, count, cap: int):
     ok = r < nrec
     idx = jnp.where(ok, row_rc * 128 + lanec, -1)
     words = jnp.where(ok, words, 0)
-    return jnp.concatenate([nrec[None].astype(jnp.int32),
-                            ometa.astype(jnp.int32), idx.astype(jnp.int32),
-                            words.astype(jnp.int32)])
+    return nrec, idx, words
 
 
 def _concat_fill(parts, pool):
@@ -439,6 +489,10 @@ class PipelinedSweep:
         import os as _os
 
         self._fuse = _os.environ.get("HAVAC_FUSE", "1") != "0"
+        # Slice-pull (HAVAC_SLICE_PULL=0 reverts to cap-sized pulls for
+        # A/B): only the SWAR path emits the split record layout.
+        self._slice_pull = (config.packing == 3 and
+                            _os.environ.get("HAVAC_SLICE_PULL", "1") != "0")
         _bgb = _os.environ.get("HAVAC_TILE_BUDGET_GB")
         if _bgb:
             self.tile_budget_bytes = int(float(_bgb) * (1 << 30))
@@ -458,6 +512,7 @@ class PipelinedSweep:
             self._tile_words = self.W
             self._nflush = 1
         self._compact = _get_compact_jit()
+        self._compact_split = _get_compact_split_jit()
 
         # Clamp chunk geometry so a worst-case (every tile dirty) dispatch
         # fits the tile budget. Since the kernel+compaction fusion the
@@ -554,6 +609,19 @@ class PipelinedSweep:
                                        icarry, self._chunk_maxt(),
                                        self._reset_dev[0], self.record_cap)
             np.asarray(out[2][:1])
+            if self._slice_pull:
+                # Prewarm every slice-pull bucket shape (each distinct
+                # slice length is one executable → one remote compile);
+                # dispatch only, no pulls — a few ms of device copies.
+                rec = out[3]
+                k = _pull_bucket(1)
+                slices = []
+                while k < 2 * self.record_cap:
+                    slices.append(rec[:k])
+                    k *= 2
+                slices.append(rec[:2 * self.record_cap])
+                for s in slices:
+                    s.block_until_ready()
         except Exception:  # pragma: no cover - warmup must never fail a run
             pass
 
@@ -594,7 +662,8 @@ class PipelinedSweep:
             fn = _get_fused_global(
                 self.cfg.packing,
                 self.W3 if self.cfg.packing == 3 else self.W, self.K, maxt,
-                cap, bool(self.cfg.interpret), self._isolate)
+                cap, bool(self.cfg.interpret), self._isolate,
+                split=self._slice_pull)
             self._fused[key] = fn
         return fn
 
@@ -618,8 +687,9 @@ class PipelinedSweep:
 
     def _dispatch_fused(self, symw, scores_dev, istate, icarry, maxt: int,
                         reset_dev, cap: int):
-        """(ostate, ocarry, packed records) — ONE device dispatch normally;
-        two (kernel, then compaction) under HAVAC_FUSE=0 for A/B runs.
+        """(ostate, ocarry, packed records) — or (ostate, ocarry, header,
+        records) in slice-pull mode — ONE device dispatch normally; two
+        (kernel, then compaction) under HAVAC_FUSE=0 for A/B runs.
 
         The first call per (maxt, cap) this process traces + remote-compiles
         (blocking); its wall time is attributed to prof["compile"] so run
@@ -631,10 +701,16 @@ class PipelinedSweep:
             fn = self._get_fused(maxt, cap)
             if self.cfg.packing == 3:
                 tiles, cnts = self._hit_bufs(maxt)
-                (ostate, ocarry, packed, self._tiles_dev,
-                 self._cnts_dev) = fn(symw, scores_dev, istate, icarry,
-                                      reset_dev, tiles, cnts)
-                out = (ostate, ocarry, packed)
+                if self._slice_pull:
+                    (ostate, ocarry, header, rec, self._tiles_dev,
+                     self._cnts_dev) = fn(symw, scores_dev, istate, icarry,
+                                          reset_dev, tiles, cnts)
+                    out = (ostate, ocarry, header, rec)
+                else:
+                    (ostate, ocarry, packed, self._tiles_dev,
+                     self._cnts_dev) = fn(symw, scores_dev, istate, icarry,
+                                          reset_dev, tiles, cnts)
+                    out = (ostate, ocarry, packed)
             else:
                 out = fn(symw, scores_dev, istate, icarry, reset_dev)
         else:
@@ -644,8 +720,13 @@ class PipelinedSweep:
                 symw, scores_dev, istate, icarry, reset_dev,
                 block_words=self.W3, max_hit_tiles=maxt,
                 interpret=self.cfg.interpret, isolate=self._isolate)
-            packed = self._compact(o[4], o[5], o[2], o[3][0], cap=cap)
-            out = (o[0], o[1], packed)
+            if self._slice_pull:
+                header, rec = self._compact_split(o[4], o[5], o[2], o[3][0],
+                                                  cap=cap)
+                out = (o[0], o[1], header, rec)
+            else:
+                packed = self._compact(o[4], o[5], o[2], o[3][0], cap=cap)
+                out = (o[0], o[1], packed)
         if first:
             self.prof["compile"] += time.perf_counter() - t0
             self._dispatched.add(key)
@@ -691,6 +772,33 @@ class PipelinedSweep:
 
             rows, pos = decode_flat_records(ids, word_idx, words, S, self.W,
                                             self.K)
+        keep = (rows < Pc) & (pos < Lc)
+        return self._finish_chunk(ri, rows[keep] + r0, pos[keep] + lo,
+                                  t_decode)
+
+    def _decode_split(self, header: np.ndarray, rec: np.ndarray, n: int,
+                      ri: int, lo: int, Lc: int):
+        """Slice-pull variant of :meth:`_decode_packed`: ``header`` is
+        ``[nrec, ometa(maxt)]`` and ``rec`` holds interleaved (idx, word)
+        pairs, of which the first ``n`` are valid (``rec`` may be a longer
+        power-of-two bucket)."""
+        t_decode = time.perf_counter()
+        r0 = ri * self.rchunk
+        Pc = min(self.P, r0 + self.rchunk) - r0
+        if n == 0:
+            return self._finish_chunk(ri, np.empty(0, dtype=np.int64),
+                                      np.empty(0, dtype=np.int64), t_decode)
+        pairs = rec[:2 * n]
+        idx = pairs[0::2].astype(np.int64)
+        words = np.ascontiguousarray(pairs[1::2])
+        slots = idx // self._tile_words
+        word_idx = idx % self._tile_words
+        ids = header[1:][slots]
+        S = self._scores_dev[ri].shape[0]
+        # nthreads=1: collector-pool worker (see _decode_packed).
+        rows, pos = self._mod.decode_swar_flat(ids, word_idx, words, S,
+                                               self.W3, sort=True,
+                                               nthreads=1)
         keep = (rows < Pc) & (pos < Lc)
         return self._finish_chunk(ri, rows[keep] + r0, pos[keep] + lo,
                                   t_decode)
@@ -773,16 +881,37 @@ class PipelinedSweep:
         # (The pre-fusion design started a warm_compact thread here to
         # overlap the separate compaction compile with the kernel compile;
         # the fused executable made that second compile disappear.)
+        slice_pull = self._slice_pull
+        pend2: List = []  # slice-pull stage B: (slice_dev, header, n, ...)
+
         with ThreadPoolExecutor(max_workers=4) as pool:
 
-            def drain_one():
-                inputs, packed_dev, cap, ri, lo, Lc = pend.pop(0)
-                t0 = time.perf_counter()
+            def _wait_ready(arr):
                 try:  # split the pull: device-bound wait vs byte fetch
-                    while not packed_dev.is_ready():
+                    while not arr.is_ready():
                         time.sleep(0.0005)
                 except AttributeError:  # pragma: no cover - older jax
                     pass
+
+            def _grow_cap(n, cap):
+                # Rare: the chunk overflowed the record cap — grow it
+                # and re-dispatch the fused chunk (its retained inputs
+                # are in ``inputs``; one extra ~25 ms kernel run, at
+                # most a handful of times per process as the cap
+                # converges on the workload's density).
+                global _RECORD_CAP_HINT
+                self.record_cap = max(self.record_cap,
+                                      max(cap * 2, round_up(n, 1024)))
+                _RECORD_CAP_HINT = max(_RECORD_CAP_HINT, self.record_cap)
+                self.overflow_retries += 1
+                return self.record_cap
+
+            def drain_one():
+                if slice_pull:
+                    return drain_header()
+                inputs, packed_dev, cap, ri, lo, Lc = pend.pop(0)
+                t0 = time.perf_counter()
+                _wait_ready(packed_dev)
                 t1 = time.perf_counter()
                 packed = np.asarray(packed_dev)
                 t2 = time.perf_counter()
@@ -790,26 +919,80 @@ class PipelinedSweep:
                 self.prof["fetch"] += t2 - t1
                 n = int(packed[0])
                 while n > cap:
-                    # Rare: the chunk overflowed the record cap — grow it
-                    # and re-dispatch the fused chunk (its retained inputs
-                    # are in ``inputs``; one extra ~25 ms kernel run, at
-                    # most a handful of times per process as the cap
-                    # converges on the workload's density).
-                    global _RECORD_CAP_HINT
-                    self.record_cap = max(self.record_cap,
-                                          max(cap * 2, round_up(n, 1024)))
-                    _RECORD_CAP_HINT = max(_RECORD_CAP_HINT, self.record_cap)
-                    cap = self.record_cap
+                    cap = _grow_cap(n, cap)
                     symw_i, istate_i, icarry_i, maxt_i = inputs
                     _, _, pk2 = self._dispatch_fused(
                         symw_i, self._scores_dev[ri], istate_i, icarry_i,
                         maxt_i, self._reset_dev[ri], cap)
                     packed = np.asarray(pk2)
                     n = int(packed[0])
-                    self.overflow_retries += 1
                 self.prof["pull"] += time.perf_counter() - t0
                 futures.append(pool.submit(self._decode_packed, packed, n,
                                            cap, ri, lo, Lc))
+
+            def drain_header():
+                # Slice-pull stage A: pull the oldest chunk's small header,
+                # then enqueue a bucketed prefix slice of its records and
+                # its async D2H. Bucketing to powers of two bounds the
+                # number of distinct slice shapes (each distinct shape is
+                # one remote compile on this rig).
+                inputs, hdr_dev, rec_dev, cap, ri, lo, Lc = pend.pop(0)
+                t0 = time.perf_counter()
+                _wait_ready(hdr_dev)
+                t1 = time.perf_counter()
+                header = np.asarray(hdr_dev)
+                t2 = time.perf_counter()
+                self.prof["ready_wait"] += t1 - t0
+                self.prof["fetch"] += t2 - t1
+                n = int(header[0])
+                while n > cap:
+                    cap = _grow_cap(n, cap)
+                    symw_i, istate_i, icarry_i, maxt_i = inputs
+                    _, _, h2, rec_dev = self._dispatch_fused(
+                        symw_i, self._scores_dev[ri], istate_i, icarry_i,
+                        maxt_i, self._reset_dev[ri], cap)
+                    header = np.asarray(h2)
+                    n = int(header[0])
+                if n == 0:
+                    self.prof["pull"] += time.perf_counter() - t0
+                    futures.append(pool.submit(
+                        self._decode_split, header,
+                        np.empty(0, dtype=np.int32), 0, ri, lo, Lc))
+                    return
+                k = min(_pull_bucket(2 * n), 2 * cap)
+                sl = rec_dev[:k]  # static bucketed slice → cached executable
+                try:
+                    sl.copy_to_host_async()
+                except AttributeError:  # pragma: no cover - older jax
+                    pass
+                self.prof["pull"] += time.perf_counter() - t0
+                pend2.append((sl, header, n, ri, lo, Lc))
+
+            def drain_slice():
+                # Slice-pull stage B: fetch the oldest prefix slice's bytes
+                # and hand the pure-numpy decode to the collector pool.
+                sl, header, n, ri, lo, Lc = pend2.pop(0)
+                t0 = time.perf_counter()
+                _wait_ready(sl)
+                t1 = time.perf_counter()
+                rec = np.asarray(sl)
+                t2 = time.perf_counter()
+                self.prof["ready_wait"] += t1 - t0
+                self.prof["fetch"] += t2 - t1
+                self.prof["pull"] += t2 - t0
+                futures.append(pool.submit(self._decode_split, header, rec,
+                                           n, ri, lo, Lc))
+
+            def drain_ready_slices():
+                # Opportunistic: collect any arrived slices without blocking.
+                while pend2:
+                    sl = pend2[0][0]
+                    try:
+                        if not sl.is_ready():
+                            break
+                    except AttributeError:  # pragma: no cover - older jax
+                        break  # can't probe: leave to the bounded drains
+                    drain_slice()
 
             for ci in range(start_ci, self.n_col):
                 symw, lo, Lc = self._pack_codes(ci)
@@ -834,19 +1017,32 @@ class PipelinedSweep:
                     # dirty tiles to records on device; the packed vector's
                     # D2H starts while the device sweeps the next chunk.
                     cap = self.record_cap
-                    ostate, ocarry, packed = self._dispatch_fused(
+                    out = self._dispatch_fused(
                         symw, self._scores_dev[ri], istate, icarry, maxt,
                         self._reset_dev[ri], cap)
+                    ostate, ocarry = out[0], out[1]
                     try:
-                        packed.copy_to_host_async()
+                        out[2].copy_to_host_async()  # packed or header
                     except AttributeError:  # pragma: no cover - older jax
                         pass
                     t1 = time.perf_counter()
                     self.prof["dispatch"] += t1 - t0
-                    pend.append(((symw, istate, icarry, maxt), packed, cap,
-                                 ri, lo, Lc))
+                    if slice_pull:
+                        pend.append(((symw, istate, icarry, maxt), out[2],
+                                     out[3], cap, ri, lo, Lc))
+                    else:
+                        pend.append(((symw, istate, icarry, maxt), out[2],
+                                     cap, ri, lo, Lc))
                     while len(pend) >= lookahead:
                         drain_one()  # bound buffers in flight
+                    if slice_pull:
+                        drain_ready_slices()
+                        # Bound stage-B depth: a slice enqueued for chunk i
+                        # lands behind the kernels already in flight, so a
+                        # slightly deeper bound keeps the main thread from
+                        # blocking on device progress it doesn't need yet.
+                        while len(pend2) >= lookahead + 2:
+                            drain_slice()
                     self.prof["gate_wait"] += time.perf_counter() - t1
                     istate = ostate  # chain row state on device
                     col_carry[ri] = ocarry  # chain carry on device
@@ -857,6 +1053,8 @@ class PipelinedSweep:
                 if checkpoint_cb is not None and ci + 1 < self.n_col:
                     while pend:
                         drain_one()
+                    while pend2:
+                        drain_slice()
                     results += [f.result() for f in futures]
                     futures.clear()
                     carries = np.stack([np.asarray(prev_col_carry[ri])
@@ -866,6 +1064,8 @@ class PipelinedSweep:
             t_drain = time.perf_counter()
             while pend:
                 drain_one()
+            while pend2:
+                drain_slice()
             results += [f.result() for f in futures]
             self.prof["drain"] += time.perf_counter() - t_drain
 

@@ -543,3 +543,29 @@ def test_swar_pipelined_unfused_knob_is_exact(monkeypatch):
     unfused = run()
     assert_hits_equal(fused.hits(), unfused.hits())
     assert_hits_equal(fused.hits(), oracle_resolved(fused))
+
+
+def test_swar_pipelined_slice_pull_knob_is_exact(monkeypatch):
+    """HAVAC_SLICE_PULL=0 (cap-sized packed-vector pulls, the pre-round-3
+    layout) must produce hits identical to the slice-pull default, in both
+    fused and two-dispatch flows."""
+    models, records = generate_planted_fixture(
+        seed=47, model_length=32, sequence_length=9000, num_models=2)
+    db = load_fasta_database(fasta_text(records), pad_multiple=3072,
+                             is_text=True)
+
+    def run():
+        e = Havac(p_value=P_VALUE, config=SWAR_CFG,
+                  backend="pallas_interpret", chunk_symbols=6144,
+                  chunk_rows=60)
+        e.load_phmm(models).load_sequence(db).run()
+        return e
+
+    default = run()
+    monkeypatch.setenv("HAVAC_SLICE_PULL", "0")
+    legacy = run()
+    monkeypatch.setenv("HAVAC_FUSE", "0")
+    legacy_unfused = run()
+    assert_hits_equal(default.hits(), legacy.hits())
+    assert_hits_equal(default.hits(), legacy_unfused.hits())
+    assert_hits_equal(default.hits(), oracle_resolved(default))

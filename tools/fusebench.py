@@ -189,7 +189,9 @@ def main() -> int:
             for _ in range(n):
                 o = fused(symw, scores_dev, st, icarry0, reset_dev, tiles,
                           cnts)
-                st, pk, tiles, cnts = o[0], o[2], o[3], o[4]
+                # 5 outputs legacy (st, carry, packed, tiles, cnts); 6 in
+                # slice-pull mode (st, carry, header, records, tiles, cnts).
+                st, pk, tiles, cnts = o[0], o[2], o[-2], o[-1]
                 del o
             return np.asarray(pk[:1])
 
