@@ -512,6 +512,8 @@ class Havac:
         the end of the sweep when constructed with ``verify_hits=True``
         (where a failure turns the run into an ERROR)."""
         self._require_completed()
+        # Pipelined runs keep raw hits as per-chunk parts until queried.
+        self._materialize_raw()
         return self._verify_raw(self._hit_rows, self._hit_positions,
                                 initial_bound=initial_bound)
 
@@ -640,6 +642,9 @@ class Havac:
             if all_rows:
                 self._hit_rows = np.concatenate(all_rows)
                 self._hit_positions = np.concatenate(all_pos)
+                # Chunk-major concatenation interleaves row ranges across
+                # column chunks; raw_hits() sorts lazily on first query.
+                self._raw_sorted = False
             t_decode = time.perf_counter() - t0
 
             self.stats.num_chunks = self._chunks_total
@@ -896,6 +901,9 @@ class Havac:
             if all_rows:
                 self._hit_rows = np.concatenate(all_rows)
                 self._hit_positions = np.concatenate(all_pos)
+                # Shard-major decode order is not (row, pos)-sorted;
+                # raw_hits() sorts lazily on first query.
+                self._raw_sorted = False
             self.stats.num_chunks = self._chunks_total
             self.stats.cells = self.database.padded_length * P
             self.stats.sweep_seconds = t_sweep
@@ -938,16 +946,41 @@ class Havac:
                 if int(ck["fingerprint"]) == fp:
                     resume = (int(ck["next_t"]), ck["istate"], ck["seam"],
                               ck["hit_rows"], ck["hit_positions"])
-                    self.resumed_chunks = int(ck["next_t"])
-                    self._chunks_done = self.resumed_chunks
         except (FileNotFoundError, KeyError, OSError, ValueError):
             resume = None
 
+        if jax.process_count() > 1:
+            # Every wavefront step is a collective (shard_map ppermute +
+            # replicated overflow sync): processes resuming at DIFFERENT
+            # steps would dispatch mismatched collective programs and
+            # deadlock or corrupt the run. All hosts must agree on next_t;
+            # a kill can land between two hosts' checkpoint writes (or eat
+            # one host's file), so on any disagreement every host restarts
+            # from scratch — correctness over salvaged progress.
+            from jax.experimental import multihost_utils
+
+            t_local = resume[0] if resume is not None else -1
+            ts = np.asarray(
+                multihost_utils.process_allgather(np.int64(t_local)))
+            if int(ts.min()) < 0 or int(ts.min()) != int(ts.max()):
+                if resume is not None:
+                    log.warning(
+                        "mesh checkpoint resume: per-host next_t disagree "
+                        "(%s); restarting from step 0 on all hosts",
+                        ts.tolist())
+                resume = None
+        if resume is not None:
+            self.resumed_chunks = resume[0]
+            self._chunks_done = self.resumed_chunks
+
         def checkpoint_cb(t_next, il, ilo, sl, slo, rows_s, pos_s):
+            # ilo/slo (this host's shard offsets) are derived state —
+            # stage_sharded recomputes placement from the mesh on resume —
+            # so they are not persisted.
+            del ilo, slo
             tmp = path + ".tmp"
             np.savez(tmp, fingerprint=np.int64(fp), next_t=np.int64(t_next),
-                     istate=il, istate_lo=np.int64(ilo), seam=sl,
-                     seam_lo=np.int64(slo), hit_rows=rows_s,
+                     istate=il, seam=sl, hit_rows=rows_s,
                      hit_positions=pos_s)
             os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
                        path)

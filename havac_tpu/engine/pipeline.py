@@ -481,10 +481,10 @@ class PipelinedSweep:
         #   HAVAC_FUSE=0          — kernel and compaction as two dispatches
         #                           (round-2 flow) instead of one fused
         #                           executable. The tile buffer is then a
-        #                           real kernel output with up to lookahead
-        #                           copies live — pair with a budget of
-        #                           (HBM/3) or less, e.g.
-        #                           HAVAC_TILE_BUDGET_GB=2.
+        #                           real kernel output with up to lookahead+1
+        #                           copies live; the geometry clamp below
+        #                           divides the tile budget accordingly
+        #                           (HAVAC_TILE_BUDGET_GB still overrides).
         #   HAVAC_TILE_BUDGET_GB  — override config.tile_budget_bytes
         import os as _os
 
@@ -523,8 +523,16 @@ class PipelinedSweep:
         # each chunk cycle costs fixed host time (enqueue + pull round trip
         # on the tunnel), which dominated the 150k sweep at 493 chunks.
         tile_bytes = self._tile_words * 4
-        self._maxt_cap = max(12, min(16384,
-                                     config.tile_budget_bytes // tile_bytes))
+        budget = config.tile_budget_bytes
+        if not self._fuse and not _bgb:
+            # Unfused A/B mode: the tile buffer is a real kernel OUTPUT (no
+            # donation), so up to lookahead+1 copies are live at once.
+            # Divide the DEFAULT budget so the worst case still fits HBM —
+            # without this, HAVAC_FUSE=0 alone would overcommit a 16 GB v5e
+            # ~3x and die RESOURCE_EXHAUSTED. An explicit
+            # HAVAC_TILE_BUDGET_GB is taken as the intended per-buffer size.
+            budget //= int(os.environ.get("HAVAC_LOOKAHEAD", "3")) + 1
+        self._maxt_cap = max(12, min(16384, budget // tile_bytes))
         K = self.K
         # Uniform chunk shapes: every dispatch shares one (B, S) so the whole
         # run costs exactly one kernel compile (pad rows/columns into the
@@ -623,7 +631,10 @@ class PipelinedSweep:
                 for s in slices:
                     s.block_until_ready()
         except Exception:  # pragma: no cover - warmup must never fail a run
-            pass
+            # The dispatch may have DONATED the chained tile/count buffers
+            # before failing; dropping the handles makes the next _hit_bufs
+            # reallocate instead of reusing a deleted array.
+            self._tiles_dev = self._cnts_dev = None
 
     # ---------------------------------------------------------- chunk prep
 
@@ -825,8 +836,12 @@ class PipelinedSweep:
             ) -> Optional[Tuple[np.ndarray, np.ndarray, float]]:
         """Full pipelined sweep; returns (rows, positions, resolved,
         sweep_seconds) or None if aborted. ``resolved`` is the globally
-        sorted ResolvedHits table when a ``resolve_fn`` is installed (raw
-        rows/positions are then returned unsorted), else None.
+        sorted ResolvedHits table when a ``resolve_fn`` is installed — rows
+        and positions are then returned as None (the raw per-chunk parts are
+        retained on ``self.raw_parts`` for lazy materialization; memcpy
+        bandwidth is the tail's scarce resource). Without a resolver,
+        ``resolved`` is None and (rows, positions) are the globally
+        (row, pos)-sorted arrays.
 
         Up to ``lookahead`` chunks are in flight. Per chunk the main loop
         dispatches the kernel + record compaction and schedules the packed

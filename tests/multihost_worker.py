@@ -9,7 +9,7 @@ parent concatenates the per-host outputs and asserts exact parity with the
 single-process oracle.
 
 Usage: multihost_worker.py <coordinator> <num_processes> <process_id> <outdir>
-       [--case plain|overflow|2d]
+       [--case plain|overflow|2d|ckpt_diverge]
 """
 
 import os
@@ -56,6 +56,10 @@ def main():
     n_dev = len(jax.devices())
     from jax.sharding import Mesh
 
+    if case == "ckpt_diverge":
+        run_ckpt_diverge(pid, outdir)
+        return
+
     codes, scores = make_inputs(case, n_dev)
 
     if case == "2d":
@@ -81,6 +85,73 @@ def main():
     np.savez(os.path.join(outdir, f"proc{pid}.npz"), rows=rows, pos=pos,
              record_cap=sweep.record_cap)
     print(f"proc {pid}: {rows.size} local hits", flush=True)
+
+
+def run_ckpt_diverge(pid: int, outdir: str):
+    """Divergent per-host mesh checkpoints must NOT be resumed.
+
+    Phase 1: both processes run the engine-level mesh sweep and abort right
+    after their first wavefront-step checkpoint write (deterministic — the
+    callback wrapper sets the abort event), so both hold a next_t=4 file.
+    Process 1 then deletes ITS file, simulating a kill that ate one host's
+    checkpoint. Phase 2: on resume, host 0 sees next_t=4 and host 1 sees
+    nothing; without the process_allgather agreement in
+    Havac._mesh_checkpoint_hooks the hosts would dispatch different numbers
+    of collective wavefront steps and deadlock — with it, both restart from
+    step 0 and the merged hits stay exact (asserted by the parent)."""
+    import jax
+
+    from havac_tpu.engine import Havac, HavacRunState
+    from havac_tpu.ops.common import SsvKernelConfig
+    from havac_tpu.testing.generator import generate_planted_fixture
+    from jax.sharding import Mesh
+
+    models, records = generate_planted_fixture(
+        seed=61, model_length=40, sequence_length=30000, num_models=2)
+    fasta = "".join(f">{n}\n{s}\n" for n, s in records)
+    cfg = SsvKernelConfig.swar(block_width=3072, interpret=True)
+    mesh = Mesh(np.array(jax.devices()), ("seq",))
+    ckpt = os.path.join(outdir, "mesh.ckpt.npz")
+
+    def make():
+        e = Havac(p_value=0.05, backend="pallas_interpret", config=cfg,
+                  mesh=mesh, checkpoint_path=ckpt)
+        return e.load_phmm(models).load_sequence(fasta, is_text=True)
+
+    first = make()
+    orig_hooks = first._mesh_checkpoint_hooks
+
+    def hooks(sweep, P):
+        cb, resume, path = orig_hooks(sweep, P)
+        assert cb is not None
+
+        def cb_then_abort(*args):
+            cb(*args)
+            first._abort_event.set()
+
+        return cb_then_abort, resume, path
+
+    first._mesh_checkpoint_hooks = hooks
+    first.run_async()
+    first.wait()
+    assert first.state == HavacRunState.ABORTED, first.state
+    my_path = ckpt + f".p{pid}"
+    assert os.path.exists(my_path)
+    if pid == 1:
+        os.remove(my_path)  # this host's checkpoint "lost" by the kill
+
+    second = make()
+    second.run()
+    # Resolved coordinates are pad-geometry-independent (raw ones are not);
+    # this host resolves only its addressable-shard hits.
+    res = second.hits()
+    np.savez(os.path.join(outdir, f"proc{pid}.npz"),
+             rows=np.empty(0, np.int64), pos=np.empty(0, np.int64),
+             record_cap=0, resumed=second.resumed_chunks,
+             si=res.sequence_index, sp=res.sequence_position,
+             pi=res.phmm_index, pp=res.phmm_position)
+    print(f"proc {pid}: {len(res)} local hits, "
+          f"resumed={second.resumed_chunks}", flush=True)
 
 
 if __name__ == "__main__":

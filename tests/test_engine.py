@@ -57,6 +57,39 @@ def test_end_to_end_matches_oracle(backend):
     assert engine.stats.cells > 0 and engine.stats.sweep_seconds > 0
 
 
+def test_public_verify_after_pipelined_run():
+    """engine.verify() must work right after a pipelined run, where raw
+    hits are still held as per-chunk parts (regression: it read the
+    unmaterialized None arrays and crashed)."""
+    models, records = generate_planted_fixture(
+        seed=7, model_length=48, sequence_length=3000, num_models=3)
+    engine = Havac(p_value=P_VALUE, config=CFG, backend="pallas_interpret")
+    engine.load_phmm(models)
+    engine.load_sequence(load_fasta_database(
+        fasta_text(records), pad_multiple=CFG.block_width, is_text=True))
+    engine.run()
+    report = engine.verify()  # no raw_hits() call first
+    assert report.all_verified and report.num_hits > 0
+
+
+def test_raw_hits_sorted_on_chunked_serial_path():
+    """raw_hits() promises (row, position) order; the serial path's
+    chunk-major concatenation must be lazily sorted (regression: the
+    _raw_sorted flag stayed True over unsorted data)."""
+    models, records = generate_planted_fixture(
+        seed=21, model_length=32, sequence_length=8000, num_models=2)
+    engine = Havac(p_value=P_VALUE, config=CFG, backend="xla",
+                   chunk_symbols=1024, chunk_rows=40)
+    engine.load_phmm(models)
+    engine.load_sequence(load_fasta_database(
+        fasta_text(records), pad_multiple=CFG.block_width, is_text=True))
+    engine.run()
+    assert engine.stats.num_chunks > 2
+    rows, pos = engine.raw_hits()
+    key = rows * (int(pos.max(initial=0)) + 1) + pos
+    assert np.all(np.diff(key) >= 0)
+
+
 def test_chunked_run_is_exact():
     """Multiple sequence chunks chained by the boundary carry give the same
     hits as one chunk (score-queue semantics across dispatches)."""

@@ -154,8 +154,8 @@ def test_engine_mesh_checkpoint_resume(tmp_path):
     run restarted with the same inputs resumes from the per-step checkpoint
     file and produces identical hits."""
     import os as _os
-    import time as _time
 
+    from havac_tpu.engine import HavacRunState
     from havac_tpu.ops.common import SsvKernelConfig
 
     ckpt = str(tmp_path / "mesh.ckpt.npz")
@@ -169,20 +169,34 @@ def test_engine_mesh_checkpoint_resume(tmp_path):
                   mesh=mesh8(), checkpoint_path=ckpt)
         return e.load_phmm(models).load_sequence(fasta, is_text=True)
 
+    # Deterministic mid-run abort: wrap the checkpoint callback so the run
+    # aborts right after its FIRST checkpoint write. The mesh has D=8, so
+    # T = S + 7 >= 8 wavefront steps and the engine's ckpt_every=4 always
+    # fires before the run can complete — no timing race.
     first = make()
+    orig_hooks = first._mesh_checkpoint_hooks
+
+    def hooks(sweep, P):
+        cb, resume, path = orig_hooks(sweep, P)
+        assert cb is not None
+
+        def cb_then_abort(*args):
+            cb(*args)
+            first._abort_event.set()
+
+        return cb_then_abort, resume, path
+
+    first._mesh_checkpoint_hooks = hooks
     first.run_async()
-    for _ in range(6000):
-        if _os.path.exists(ckpt):
-            break
-        _time.sleep(0.005)
-    first.abort()
     first.wait()
+    assert first.state == HavacRunState.ABORTED
+    assert _os.path.exists(ckpt)
 
     second = make()
     second.run()
     if _os.path.exists(ckpt + ".tmp.npz"):
         _os.remove(ckpt + ".tmp.npz")
-    resumed = second.resumed_chunks
+    assert second.resumed_chunks > 0  # the resume machinery actually ran
     assert not _os.path.exists(ckpt)  # cleaned up on completion
 
     single = Havac(p_value=0.05, backend="xla",
@@ -191,7 +205,3 @@ def test_engine_mesh_checkpoint_resume(tmp_path):
     single.load_phmm(models).load_sequence(fasta, is_text=True).run()
     assert sorted(second.hits().as_tuples()) == sorted(
         single.hits().as_tuples())
-    # The abort may have raced the first checkpoint; when it landed, the
-    # second run must actually have resumed.
-    if resumed:
-        assert second.resumed_chunks > 0

@@ -98,6 +98,37 @@ def test_two_process_asymmetric_overflow_retry(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_divergent_checkpoints_restart(tmp_path):
+    """A kill can land between two hosts' checkpoint writes (or eat one
+    host's file). Resuming from DIVERGENT per-host next_t would dispatch
+    mismatched collective step programs and deadlock the cluster; the
+    process_allgather agreement in Havac._mesh_checkpoint_hooks must make
+    every host restart from step 0 instead, keeping the merged hits exact."""
+    _run_cluster(tmp_path, "ckpt_diverge")
+    got = []
+    for i in range(2):
+        z = np.load(tmp_path / f"proc{i}.npz")
+        assert int(z["resumed"]) == 0  # divergence detected: fresh start
+        got += list(zip(z["si"].tolist(), z["sp"].tolist(),
+                        z["pi"].tolist(), z["pp"].tolist()))
+
+    from havac_tpu.engine import Havac
+    from havac_tpu.ops.common import SsvKernelConfig
+    from havac_tpu.testing.generator import generate_planted_fixture
+
+    models, records = generate_planted_fixture(
+        seed=61, model_length=40, sequence_length=30000, num_models=2)
+    fasta = "".join(f">{n}\n{s}\n" for n, s in records)
+    single = Havac(p_value=0.05, backend="xla",
+                   config=SsvKernelConfig(block_width=1024, rows_per_strip=8,
+                                          interpret=True))
+    single.load_phmm(models).load_sequence(fasta, is_text=True).run()
+    want = single.hits().as_tuples()
+    assert len(want) > 0
+    assert sorted(got) == sorted(want)
+
+
+@pytest.mark.slow
 def test_two_process_2d_parity(tmp_path):
     """(seq x model) 2D sharding across two processes."""
     rows, pos, _ = _run_cluster(tmp_path, "2d")
