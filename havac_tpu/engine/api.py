@@ -792,17 +792,23 @@ class Havac:
                     self._chunks_total = total
                     self._chunks_done = step
 
+                checkpoint_cb, resume, ck_path = (
+                    self._mesh2d_checkpoint_hooks(sweep2d, P))
                 t0 = time.perf_counter()
                 result = sweep2d.run(scores, self.phmm_prefix,
                                      self.reset_rows,
                                      abort_event=self._abort_event,
                                      progress=dist2d_progress,
-                                     monolithic=not self.dist_step_dispatch)
+                                     monolithic=not self.dist_step_dispatch,
+                                     checkpoint_cb=checkpoint_cb,
+                                     resume=resume, ckpt_every=4)
                 if result is None:
                     with self._state_lock:
                         self._state = HavacRunState.ABORTED
                     return
                 rows, pos = result
+                if ck_path and os.path.exists(ck_path):
+                    os.remove(ck_path)
                 self._finish_distributed(rows, pos, P,
                                          time.perf_counter() - t0,
                                          prof=getattr(sweep2d, "prof", None))
@@ -981,6 +987,52 @@ class Havac:
             tmp = path + ".tmp"
             np.savez(tmp, fingerprint=np.int64(fp), next_t=np.int64(t_next),
                      istate=il, seam=sl, hit_rows=rows_s,
+                     hit_positions=pos_s)
+            os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
+                       path)
+
+        return checkpoint_cb, resume, path
+
+    def _mesh2d_checkpoint_hooks(self, sweep2d, P: int):
+        """(checkpoint_cb, resume, path) for the 2D (seq × model) mesh path.
+
+        Same wavefront-step discipline as :meth:`_mesh_checkpoint_hooks`,
+        but the 2D scan state is sharded over BOTH axes, so the snapshot
+        persists the full (small: D_m × shards of istate/seam) arrays —
+        single-process only; multi-host 2D runs get no checkpointing (the
+        1D path is the multi-host workhorse)."""
+        if not (self.checkpoint_path and self.dist_step_dispatch):
+            return None, None, None
+        import zlib
+
+        import jax
+
+        if jax.process_count() > 1:
+            log.warning("2D mesh checkpointing is single-process only; "
+                        "this multi-host run proceeds WITHOUT checkpoints")
+            return None, None, None
+        fp = self._fingerprint(self.database.padded_length, P,
+                               sweep2d.shard_width, sweep2d.R)
+        fp = zlib.crc32(
+            f"mesh2d:{sweep2d.D_seq}x{sweep2d.D_model}:"
+            f"{self.mesh_axis}".encode(), fp)
+        path = self.checkpoint_path
+
+        resume = None
+        try:
+            with np.load(path) as ck:
+                if int(ck["fingerprint"]) == fp:
+                    resume = (int(ck["next_t"]), ck["istate"], ck["seam"],
+                              ck["hit_rows"], ck["hit_positions"])
+                    self.resumed_chunks = int(ck["next_t"])
+                    self._chunks_done = self.resumed_chunks
+        except (FileNotFoundError, KeyError, OSError, ValueError):
+            resume = None
+
+        def checkpoint_cb(t_next, istate, seam, rows_s, pos_s):
+            tmp = path + ".tmp"
+            np.savez(tmp, fingerprint=np.int64(fp), next_t=np.int64(t_next),
+                     istate=istate, seam=seam, hit_rows=rows_s,
                      hit_positions=pos_s)
             os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
                        path)

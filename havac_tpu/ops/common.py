@@ -95,11 +95,15 @@ class SsvKernelConfig:
 
     @staticmethod
     def swar(block_width: int = 387072, max_hit_tiles: int = 512,
-             interpret: bool = False) -> "SsvKernelConfig":
+             interpret: bool = False,
+             tile_budget_bytes: int = None) -> "SsvKernelConfig":
         """Default geometry for the SWAR kernel (measured best on v5e)."""
+        kw = {}
+        if tile_budget_bytes is not None:
+            kw["tile_budget_bytes"] = tile_budget_bytes
         return SsvKernelConfig(block_width=block_width, rows_per_strip=30,
                                max_hit_tiles=max_hit_tiles,
-                               interpret=interpret, packing=3)
+                               interpret=interpret, packing=3, **kw)
 
     @property
     def sublane_rows(self) -> int:

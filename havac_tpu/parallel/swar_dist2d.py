@@ -257,7 +257,8 @@ class Swar2DSweep:
 
     def run(self, scores: np.ndarray, prefix_sums: np.ndarray,
             reset_rows: Optional[np.ndarray] = None,
-            abort_event=None, progress=None, monolithic: bool = False
+            abort_event=None, progress=None, monolithic: bool = False,
+            checkpoint_cb=None, resume=None, ckpt_every: int = 8
             ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         """Sweep; ``prefix_sums`` are the model-length prefix sums (cut
         points). ``reset_rows`` defaults to isolating every model (required
@@ -266,18 +267,30 @@ class Swar2DSweep:
         Default dispatch is PER WAVEFRONT STEP with device-resident scan
         carries, so ``abort_event`` is honored between steps (returns None
         when aborted); ``monolithic=True`` restores the single lax.scan
-        dispatch. Same contract as `SwarDistributedSweep.run`."""
+        dispatch. Same contract as `SwarDistributedSweep.run`.
+
+        Step-dispatch mode supports wavefront-step checkpointing:
+        ``checkpoint_cb(t_next, istate (D_m, G, WS, 128) int32, seam
+        (D_m, D_seq, R+1) int32, rows, pos)`` is called every ``ckpt_every``
+        completed steps with the FULL device-resident scan carries (the 2D
+        state is sharded over both axes, so per-host shard persistence is
+        not supported — the engine only wires this single-process);
+        ``resume`` is a prior payload ``(t_next, istate, seam, rows, pos)``.
+        Monolithic mode ignores both."""
         while True:
             try:
                 return self._run_once(scores, prefix_sums, reset_rows,
-                                      abort_event, progress, monolithic)
+                                      abort_event, progress, monolithic,
+                                      checkpoint_cb=checkpoint_cb,
+                                      resume=resume, ckpt_every=ckpt_every)
             except _RecordCapacityExceeded as exc:
                 while self.record_cap < exc.nrec:
                     self.record_cap *= 2
                 self._fns.clear()
 
     def _run_once(self, scores, prefix_sums, reset_rows, abort_event=None,
-                  progress=None, monolithic=False):
+                  progress=None, monolithic=False, checkpoint_cb=None,
+                  resume=None, ckpt_every: int = 8):
         P_ = scores.shape[0]
         prefix = np.asarray(prefix_sums, dtype=np.int64)
         if reset_rows is None:
@@ -320,6 +333,10 @@ class Swar2DSweep:
             global_record_max, global_record_max_many, stage_replicated)
 
         T = S + self.D_seq - 1
+        all_rows, all_pos = [], []
+        # Decode this process's addressable record shards only (global
+        # coordinates; per-host outputs concatenate to the exact global
+        # list — same contract as SwarDistributedSweep).
         if monolithic:
             istate = device_zeros(self.symw_dev.shape, jnp.int32,
                                   self._seq_shard)
@@ -329,43 +346,8 @@ class Swar2DSweep:
             t0 = time.perf_counter()
             gmax = global_record_max(packeds, self.mesh)
             self.prof["sync"] += time.perf_counter() - t0
-            step_packeds = None
-        else:
-            state_shard = NamedSharding(
-                self.mesh, P(self.model_axis, self.seq_axis))
-            istate = device_zeros(
-                (self.D_model,) + self.symw_dev.shape, jnp.int32,
-                state_shard)
-            seam = device_zeros((self.D_model, self.D_seq, self.R + 1),
-                                jnp.int32, state_shard)
-            tarr = stage_replicated(
-                np.arange(T, dtype=np.int32).reshape(T, 1), self.mesh)
-            step_packeds = []
-            for t in range(T):
-                if abort_event is not None and abort_event.is_set():
-                    return None
-                t0 = time.perf_counter()
-                istate, seam, pk = self._fns[key](
-                    self.symw_dev, sc_dev, rr_dev, istate, seam, tarr[t])
-                try:
-                    pk.copy_to_host_async()
-                except AttributeError:  # pragma: no cover - older jax
-                    pass
-                self.prof["dispatch"] += time.perf_counter() - t0
-                step_packeds.append(pk)
-                if progress is not None:
-                    progress(t + 1, T)
-            t0 = time.perf_counter()
-            gmax = global_record_max_many(step_packeds, self.mesh)
-            self.prof["sync"] += time.perf_counter() - t0
-        if gmax is not None and int(gmax.max()) > self.record_cap:
-            raise _RecordCapacityExceeded(int(gmax.max()))
-
-        all_rows, all_pos = [], []
-        # Decode this process's addressable record shards only (global
-        # coordinates; per-host outputs concatenate to the exact global
-        # list — same contract as SwarDistributedSweep).
-        if monolithic:
+            if gmax is not None and int(gmax.max()) > self.record_cap:
+                raise _RecordCapacityExceeded(int(gmax.max()))
             for sh in packeds.addressable_shards:
                 g0 = sh.index[0].start or 0
                 d0 = sh.index[1].start or 0
@@ -382,21 +364,81 @@ class Swar2DSweep:
                                 all_rows, all_pos)
                 self.prof["decode"] += time.perf_counter() - t1
         else:
-            for t, pk in enumerate(step_packeds):
-                for sh in pk.addressable_shards:
-                    g0 = sh.index[0].start or 0
-                    d0 = sh.index[1].start or 0
+            state_shard = NamedSharding(
+                self.mesh, P(self.model_axis, self.seq_axis))
+            start_t = 0
+            if resume is not None:
+                start_t, istate_np, seam_np, rows0, pos0 = resume
+                istate = jax.device_put(np.asarray(istate_np, np.int32),
+                                        state_shard)
+                seam = jax.device_put(np.asarray(seam_np, np.int32),
+                                      state_shard)
+                all_rows.append(np.asarray(rows0, dtype=np.int64))
+                all_pos.append(np.asarray(pos0, dtype=np.int64))
+            else:
+                istate = device_zeros(
+                    (self.D_model,) + self.symw_dev.shape, jnp.int32,
+                    state_shard)
+                seam = device_zeros((self.D_model, self.D_seq, self.R + 1),
+                                    jnp.int32, state_shard)
+            tarr = stage_replicated(
+                np.arange(T, dtype=np.int32).reshape(T, 1), self.mesh)
+            pend = []  # (t, packed) awaiting decode
+
+            def drain_pend():
+                """Replicated overflow check + decode of pending steps —
+                collective-safe: every process folds the SAME steps."""
+                t0 = time.perf_counter()
+                gmax = global_record_max_many([p for _, p in pend],
+                                              self.mesh)
+                if gmax is not None and int(gmax.max()) > self.record_cap:
+                    raise _RecordCapacityExceeded(int(gmax.max()))
+                self.prof["sync"] += time.perf_counter() - t0
+                for t, pk in pend:
+                    for sh in pk.addressable_shards:
+                        g0 = sh.index[0].start or 0
+                        d0 = sh.index[1].start or 0
+                        t1 = time.perf_counter()
+                        arr = np.asarray(sh.data)  # (Gl, Dl, CC, X)
+                        t2 = time.perf_counter()
+                        self.prof["pull"] += t2 - t1
+                        for gg in range(arr.shape[0]):
+                            for dd in range(arr.shape[1]):
+                                self._decode_block(
+                                    arr[gg, dd], g0 + gg, d0 + dd,
+                                    t - (d0 + dd), S, strips, g_rows,
+                                    g_row0, all_rows, all_pos)
+                        self.prof["decode"] += time.perf_counter() - t2
+                pend.clear()
+
+            for t in range(start_t, T):
+                if abort_event is not None and abort_event.is_set():
+                    return None
+                t0 = time.perf_counter()
+                istate, seam, pk = self._fns[key](
+                    self.symw_dev, sc_dev, rr_dev, istate, seam, tarr[t])
+                try:
+                    pk.copy_to_host_async()
+                except AttributeError:  # pragma: no cover - older jax
+                    pass
+                self.prof["dispatch"] += time.perf_counter() - t0
+                pend.append((t, pk))
+                if progress is not None:
+                    progress(t + 1, T)
+                if (checkpoint_cb is not None and t + 1 < T
+                        and (t + 1 - start_t) % ckpt_every == 0):
+                    drain_pend()
                     t0 = time.perf_counter()
-                    arr = np.asarray(sh.data)  # (Gl, Dl, CC, X)
-                    t1 = time.perf_counter()
-                    self.prof["pull"] += t1 - t0
-                    for gg in range(arr.shape[0]):
-                        for dd in range(arr.shape[1]):
-                            self._decode_block(
-                                arr[gg, dd], g0 + gg, d0 + dd,
-                                t - (d0 + dd), S, strips, g_rows, g_row0,
-                                all_rows, all_pos)
-                    self.prof["decode"] += time.perf_counter() - t1
+                    rows_s = (np.concatenate(all_rows) if all_rows
+                              else np.empty(0, dtype=np.int64))
+                    pos_s = (np.concatenate(all_pos) if all_pos
+                             else np.empty(0, dtype=np.int64))
+                    all_rows[:] = [rows_s]
+                    all_pos[:] = [pos_s]
+                    checkpoint_cb(t + 1, np.asarray(istate),
+                                  np.asarray(seam), rows_s, pos_s)
+                    self.prof["sync"] += time.perf_counter() - t0
+            drain_pend()
         if not all_rows:
             return (np.empty(0, dtype=np.int64),) * 2
         rows = np.concatenate(all_rows)

@@ -98,6 +98,67 @@ def test_engine_mesh_swar_backend():
     assert sorted(dist.hits().as_tuples()) == sorted(single.hits().as_tuples())
 
 
+def test_engine_mesh_2d_checkpoint_resume(tmp_path):
+    """Engine-level 2D (seq × model) mesh checkpoint/resume: an aborted 2D
+    run restarted with the same inputs resumes from the wavefront-step
+    checkpoint and produces identical hits. Deterministic: the wrapped
+    callback aborts right after the first checkpoint write, and the tiny
+    tile budget forces R=30 so T = S + D_seq - 1 > ckpt_every."""
+    import os as _os
+
+    from havac_tpu.engine import HavacRunState
+    from havac_tpu.ops.common import SsvKernelConfig
+
+    ckpt = str(tmp_path / "mesh2d.ckpt.npz")
+    models, records = generate_planted_fixture(
+        seed=53, model_length=30, sequence_length=20000, num_models=4)
+    fasta = "".join(f">{n}\n{s}\n" for n, s in records)
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh2 = Mesh(devs, ("seq", "model"))
+    cfg = SsvKernelConfig.swar(block_width=3072, interpret=True,
+                               tile_budget_bytes=49152)
+
+    def make():
+        e = Havac(p_value=0.05, backend="pallas_interpret", config=cfg,
+                  mesh=mesh2, isolate_models=True, checkpoint_path=ckpt)
+        return e.load_phmm(models).load_sequence(fasta, is_text=True)
+
+    first = make()
+    orig_hooks = first._mesh2d_checkpoint_hooks
+
+    def hooks(sweep2d, P):
+        cb, resume, path = orig_hooks(sweep2d, P)
+        assert cb is not None
+
+        def cb_then_abort(*args):
+            cb(*args)
+            first._abort_event.set()
+
+        return cb_then_abort, resume, path
+
+    first._mesh2d_checkpoint_hooks = hooks
+    first.run_async()
+    first.wait()
+    assert first.state == HavacRunState.ABORTED
+    assert _os.path.exists(ckpt)
+
+    second = make()
+    second.run()
+    if _os.path.exists(ckpt + ".tmp.npz"):
+        _os.remove(ckpt + ".tmp.npz")
+    assert second.resumed_chunks > 0  # the resume machinery actually ran
+    assert not _os.path.exists(ckpt)  # cleaned up on completion
+
+    single = Havac(p_value=0.05, backend="xla",
+                   config=SsvKernelConfig(block_width=1024, rows_per_strip=8,
+                                          interpret=True),
+                   isolate_models=True)
+    single.load_phmm(models).load_sequence(fasta, is_text=True).run()
+    assert len(single.hits()) > 0
+    assert sorted(second.hits().as_tuples()) == sorted(
+        single.hits().as_tuples())
+
+
 def test_engine_mesh_2d_swar():
     """2D mesh + isolate_models routes through Swar2DSweep, exact vs the
     isolated single-device run."""
