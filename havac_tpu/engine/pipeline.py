@@ -54,7 +54,7 @@ _COMPACT_SPLIT_JIT = None
 
 def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
                       maxt: int, cap: int, interpret: bool, isolate: bool,
-                      split: bool = False):
+                      split: bool = False, donate: bool = True):
     """Module-level cache of the fused kernel+compaction executable.
 
     MUST be global, not per-sweep: the engine builds a fresh PipelinedSweep
@@ -64,7 +64,7 @@ def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
     an instance-level cache put ~10 s of recompilation inside every timed
     run (the round-2 design's module-level kernel jit had no such cost)."""
     key = (packing, block_words, rows_per_strip, maxt, cap, interpret,
-           isolate, split)
+           isolate, split, donate)
     fn = _FUSED_CACHE.get(key)
     if fn is not None:
         return fn
@@ -72,6 +72,30 @@ def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
 
     if packing == 3:
         from havac_tpu.ops import ssv_swar as mod
+
+        if not donate:
+            # A/B variant (HAVAC_DONATE=0): the tile buffer and sidecar stay
+            # INTERNAL to the executable (pallas outputs consumed by the
+            # compaction, never returned) — no donation, no rethreading.
+            # Temps are allocated per enqueue, so a lookahead-k pipeline
+            # holds k of them live; the engine divides the tile budget by
+            # lookahead+1 in this mode (same clamp as HAVAC_FUSE=0).
+            def fused_nodonate(symw, scores_dev, istate, icarry, reset_dev):
+                out = mod._ssv_swar_jit(
+                    symw, scores_dev, istate, icarry, reset_dev,
+                    block_words=block_words, max_hit_tiles=maxt,
+                    interpret=interpret, isolate=isolate)
+                if split:
+                    header, rec = _compact_tiles_split(
+                        out[4], out[5], out[2], out[3][0], cap=cap)
+                    return out[0], out[1], header, rec
+                packed = _compact_tiles_impl(out[4], out[5], out[2],
+                                             out[3][0], cap=cap)
+                return out[0], out[1], packed
+
+            fn = jax.jit(fused_nodonate)
+            _FUSED_CACHE[key] = fn
+            return fn
 
         # The multi-GB dirty-tile buffer and its count sidecar are DONATED
         # and returned: the engine rethreads them dispatch-to-dispatch so
@@ -489,6 +513,11 @@ class PipelinedSweep:
         import os as _os
 
         self._fuse = _os.environ.get("HAVAC_FUSE", "1") != "0"
+        #   HAVAC_DONATE=0        — fused executable with INTERNAL temp hit
+        #                           buffers instead of donated/rethreaded
+        #                           ones (isolates donation cost; budget is
+        #                           clamped by lookahead+1 like FUSE=0).
+        self._donate = _os.environ.get("HAVAC_DONATE", "1") != "0"
         # Slice-pull (HAVAC_SLICE_PULL=0 reverts to cap-sized pulls for
         # A/B): only the SWAR path emits the split record layout.
         self._slice_pull = (config.packing == 3 and
@@ -524,13 +553,14 @@ class PipelinedSweep:
         # on the tunnel), which dominated the 150k sweep at 493 chunks.
         tile_bytes = self._tile_words * 4
         budget = config.tile_budget_bytes
-        if not self._fuse and not _bgb:
-            # Unfused A/B mode: the tile buffer is a real kernel OUTPUT (no
-            # donation), so up to lookahead+1 copies are live at once.
-            # Divide the DEFAULT budget so the worst case still fits HBM —
-            # without this, HAVAC_FUSE=0 alone would overcommit a 16 GB v5e
-            # ~3x and die RESOURCE_EXHAUSTED. An explicit
-            # HAVAC_TILE_BUDGET_GB is taken as the intended per-buffer size.
+        if (not self._fuse or not self._donate) and not _bgb:
+            # Undonated A/B modes (HAVAC_FUSE=0 or HAVAC_DONATE=0): the tile
+            # buffer is a real kernel output / per-enqueue temp, so up to
+            # lookahead+1 copies are live at once. Divide the DEFAULT budget
+            # so the worst case still fits HBM — without this, either knob
+            # alone would overcommit a 16 GB v5e ~3x and die
+            # RESOURCE_EXHAUSTED. An explicit HAVAC_TILE_BUDGET_GB is taken
+            # as the intended per-buffer size.
             budget //= int(os.environ.get("HAVAC_LOOKAHEAD", "3")) + 1
         self._maxt_cap = max(12, min(16384, budget // tile_bytes))
         K = self.K
@@ -674,7 +704,7 @@ class PipelinedSweep:
                 self.cfg.packing,
                 self.W3 if self.cfg.packing == 3 else self.W, self.K, maxt,
                 cap, bool(self.cfg.interpret), self._isolate,
-                split=self._slice_pull)
+                split=self._slice_pull, donate=self._donate)
             self._fused[key] = fn
         return fn
 
@@ -710,7 +740,9 @@ class PipelinedSweep:
         t0 = time.perf_counter() if first else 0.0
         if self._fuse:
             fn = self._get_fused(maxt, cap)
-            if self.cfg.packing == 3:
+            if self.cfg.packing == 3 and not self._donate:
+                out = fn(symw, scores_dev, istate, icarry, reset_dev)
+            elif self.cfg.packing == 3:
                 tiles, cnts = self._hit_bufs(maxt)
                 if self._slice_pull:
                     (ostate, ocarry, header, rec, self._tiles_dev,

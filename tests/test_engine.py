@@ -578,6 +578,32 @@ def test_swar_pipelined_unfused_knob_is_exact(monkeypatch):
     assert_hits_equal(fused.hits(), oracle_resolved(fused))
 
 
+def test_swar_pipelined_nodonate_knob_is_exact(monkeypatch):
+    """HAVAC_DONATE=0 (fused executable with internal temp hit buffers —
+    the donation-cost A/B knob) must produce hits identical to the
+    donated default, with and without slice-pull."""
+    models, records = generate_planted_fixture(
+        seed=59, model_length=32, sequence_length=9000, num_models=2)
+    db = load_fasta_database(fasta_text(records), pad_multiple=3072,
+                             is_text=True)
+
+    def run():
+        e = Havac(p_value=P_VALUE, config=SWAR_CFG,
+                  backend="pallas_interpret", chunk_symbols=6144,
+                  chunk_rows=60)
+        e.load_phmm(models).load_sequence(db).run()
+        return e
+
+    default = run()
+    monkeypatch.setenv("HAVAC_DONATE", "0")
+    nodonate = run()
+    monkeypatch.setenv("HAVAC_SLICE_PULL", "0")
+    nodonate_packed = run()
+    assert_hits_equal(default.hits(), nodonate.hits())
+    assert_hits_equal(default.hits(), nodonate_packed.hits())
+    assert_hits_equal(default.hits(), oracle_resolved(default))
+
+
 def test_swar_pipelined_slice_pull_knob_is_exact(monkeypatch):
     """HAVAC_SLICE_PULL=0 (cap-sized packed-vector pulls, the pre-round-3
     layout) must produce hits identical to the slice-pull default, in both
