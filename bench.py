@@ -18,30 +18,15 @@ BASELINE_GCUPS = 1739.0
 
 
 def main() -> None:
-    import os
-    import sys
-    import threading
-
     import jax
     import jax.numpy as jnp
 
-    # Device discovery blocks INDEFINITELY when the axon tunnel is dead
-    # (observed: >6 h outages on this rig). Bound it so a driver invoking
-    # bench.py on a dead tunnel gets a fast, honest failure instead of a
-    # hang. Only backend init is bounded — the first-compile handshake
-    # (30-800 s, legitimate) happens later and is not subject to this.
-    init_done = threading.Event()
+    from havac_tpu.utils.backend import bounded_backend_init
 
-    def _watchdog():
-        if not init_done.wait(600):
-            print("bench.py: TPU backend init exceeded 600 s "
-                  "(tunnel down?); aborting without a measurement",
-                  file=sys.stderr, flush=True)
-            os._exit(3)
-
-    threading.Thread(target=_watchdog, daemon=True).start()
-    on_tpu = jax.default_backend() == "tpu"
-    init_done.set()
+    # Device discovery blocks INDEFINITELY when the axon tunnel is dead;
+    # bound it so a driver invoking bench.py on a dead tunnel gets a fast,
+    # honest failure instead of a hang (see utils/backend.py).
+    on_tpu = bounded_backend_init(tag="bench.py") == "tpu"
     rng = np.random.default_rng(0)
 
     if on_tpu:

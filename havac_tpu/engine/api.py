@@ -461,20 +461,27 @@ class Havac:
                                else np.empty(0, dtype=np.int64))
         self._raw_parts = None
 
+    def _sorted_raw(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Materialized, (row, position)-sorted raw hits. Guarded by the
+        state lock: the lazy sort swaps two attributes, and an unlocked
+        reader racing it could pair new rows with old positions."""
+        with self._state_lock:
+            self._materialize_raw()
+            if not self._raw_sorted:
+                from havac_tpu.ops.common import sort_hit_pairs
+
+                self._hit_rows, self._hit_positions = sort_hit_pairs(
+                    self._hit_rows, self._hit_positions)
+                self._raw_sorted = True
+            return self._hit_rows, self._hit_positions
+
     def raw_hits(self) -> Tuple[np.ndarray, np.ndarray]:
         """Unresolved global (phmm_row, sequence_position) hit coordinates —
         the analog of the device's u64 hit records before host decode.
         Sorted by (row, position); materialization and sort are lazy (first
         query) on the pipelined path, whose hot loop needs neither."""
         self._require_completed()
-        self._materialize_raw()
-        if not self._raw_sorted:
-            from havac_tpu.ops.common import sort_hit_pairs
-
-            self._hit_rows, self._hit_positions = sort_hit_pairs(
-                self._hit_rows, self._hit_positions)
-            self._raw_sorted = True
-        return self._hit_rows, self._hit_positions
+        return self._sorted_raw()
 
     def hits(self) -> ResolvedHits:
         """Resolved hits (`Havac::getHitsFromFinishedRun`,
@@ -487,7 +494,10 @@ class Havac:
             # Pipelined runs resolve in the collector pool during the sweep.
             resolved = self._resolved
         else:
-            resolved = resolve_hits(self._hit_rows, self._hit_positions,
+            # Resolve from the SORTED raw hits so the table's row order does
+            # not depend on whether raw_hits() happened to be called first.
+            rows, positions = self._sorted_raw()
+            resolved = resolve_hits(rows, positions,
                                     self.database, self.phmm_prefix)
         if self.strand == "both":
             n = self._n_forward
@@ -512,10 +522,11 @@ class Havac:
         the end of the sweep when constructed with ``verify_hits=True``
         (where a failure turns the run into an ERROR)."""
         self._require_completed()
-        # Pipelined runs keep raw hits as per-chunk parts until queried.
-        self._materialize_raw()
-        return self._verify_raw(self._hit_rows, self._hit_positions,
-                                initial_bound=initial_bound)
+        # Pipelined runs keep raw hits as per-chunk parts until queried;
+        # go through the locked accessor so a concurrent raw_hits() sort
+        # cannot tear the (rows, positions) pairing under us.
+        rows, positions = self._sorted_raw()
+        return self._verify_raw(rows, positions, initial_bound=initial_bound)
 
     def _verify_raw(self, rows: np.ndarray, positions: np.ndarray,
                     initial_bound: int = 64):
@@ -952,6 +963,8 @@ class Havac:
                 if int(ck["fingerprint"]) == fp:
                     resume = (int(ck["next_t"]), ck["istate"], ck["seam"],
                               ck["hit_rows"], ck["hit_positions"])
+                else:
+                    self._warn_stale_checkpoint(path)
         except (FileNotFoundError, KeyError, OSError, ValueError):
             resume = None
 
@@ -1026,6 +1039,8 @@ class Havac:
                               ck["hit_rows"], ck["hit_positions"])
                     self.resumed_chunks = int(ck["next_t"])
                     self._chunks_done = self.resumed_chunks
+                else:
+                    self._warn_stale_checkpoint(path)
         except (FileNotFoundError, KeyError, OSError, ValueError):
             resume = None
 
@@ -1082,6 +1097,18 @@ class Havac:
             f"{self.strand}:{self.isolate_models}:{self.p_value}".encode(), h)
         return h
 
+    @staticmethod
+    def _warn_stale_checkpoint(path: str) -> None:
+        """A checkpoint file exists but does not match this run. Usually the
+        inputs changed — but the fingerprint formula itself changed once
+        (round 3 switched the database term from chained bytes to a cached
+        CRC-of-CRC), which invalidates older checkpoints too. Either way the
+        run silently restarting from chunk 0 is worth a visible warning."""
+        log.warning(
+            "checkpoint %s does not match this run's inputs/geometry "
+            "(or predates a fingerprint-format change); starting from "
+            "scratch — it will be overwritten", path)
+
     def _load_checkpoint_pipelined(self, fingerprint: int, n_row: int,
                                    rchunk: int):
         try:
@@ -1089,20 +1116,28 @@ class Havac:
                 if (int(ck["fingerprint"]) != fingerprint
                         or "carries" not in ck
                         or ck["carries"].shape != (n_row, rchunk + 1)):
+                    self._warn_stale_checkpoint(self.checkpoint_path)
                     return None
                 return (int(ck["next_ci"]), ck["carries"].astype(np.int32),
                         ck["hit_rows"], ck["hit_positions"])
-        except (FileNotFoundError, KeyError, OSError, ValueError):
+        except FileNotFoundError:
+            return None
+        except (KeyError, OSError, ValueError):
+            self._warn_stale_checkpoint(self.checkpoint_path)
             return None
 
     def _load_checkpoint(self, fingerprint: int):
         try:
             with np.load(self.checkpoint_path) as ck:
                 if int(ck["fingerprint"]) != fingerprint:
+                    self._warn_stale_checkpoint(self.checkpoint_path)
                     return None
                 return (int(ck["next_ci"]), ck["carry"].astype(np.int32),
                         ck["hit_rows"], ck["hit_positions"])
-        except (FileNotFoundError, KeyError, OSError, ValueError):
+        except FileNotFoundError:
+            return None
+        except (KeyError, OSError, ValueError):
+            self._warn_stale_checkpoint(self.checkpoint_path)
             return None
 
     def _save_checkpoint(self, fingerprint: int, next_ci: int,

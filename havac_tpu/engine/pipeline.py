@@ -553,6 +553,10 @@ class PipelinedSweep:
         # on the tunnel), which dominated the 150k sweep at 493 chunks.
         tile_bytes = self._tile_words * 4
         budget = config.tile_budget_bytes
+        # Resolve the pipeline depth ONCE: the budget clamp below and run()
+        # must agree on it, or an explicit run(lookahead=k) would keep more
+        # per-enqueue tile buffers live than the geometry was sized for.
+        self._lookahead = int(_os.environ.get("HAVAC_LOOKAHEAD", "3"))
         if (not self._fuse or not self._donate) and not _bgb:
             # Undonated A/B modes (HAVAC_FUSE=0 or HAVAC_DONATE=0): the tile
             # buffer is a real kernel output / per-enqueue temp, so up to
@@ -561,7 +565,7 @@ class PipelinedSweep:
             # alone would overcommit a 16 GB v5e ~3x and die
             # RESOURCE_EXHAUSTED. An explicit HAVAC_TILE_BUDGET_GB is taken
             # as the intended per-buffer size.
-            budget //= int(os.environ.get("HAVAC_LOOKAHEAD", "3")) + 1
+            budget //= self._lookahead + 1
         self._maxt_cap = max(12, min(16384, budget // tile_bytes))
         K = self.K
         # Uniform chunk shapes: every dispatch shares one (B, S) so the whole
@@ -895,7 +899,12 @@ class PipelinedSweep:
             # Depth 3 hides the dispatch+pull round trip; HAVAC_LOOKAHEAD
             # is an A/B knob (with the donated tile buffer, depth no longer
             # multiplies HBM footprint).
-            lookahead = int(os.environ.get("HAVAC_LOOKAHEAD", "3"))
+            lookahead = self._lookahead
+        elif not (self._fuse and self._donate):
+            # Undonated A/B modes size the tile budget for _lookahead+1
+            # live per-enqueue buffers (see __init__); a deeper explicit
+            # request would overcommit HBM, so clamp it.
+            lookahead = min(lookahead, self._lookahead)
         jnp = self.jnp
         t_start = time.perf_counter()
         futures: List = []

@@ -174,7 +174,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    print(f"# backend={jax.default_backend()} maxt={args.maxt} ws={args.ws} "
+    from havac_tpu.utils.backend import bounded_backend_init
+
+    print(f"# backend={bounded_backend_init(tag='compactbench')} "
+          f"maxt={args.maxt} ws={args.ws} "
           f"cap={args.cap} hits/tile={args.hits_per_tile}")
     otiles, ocnts, ometa = build_inputs(args.maxt, args.ws,
                                         args.hits_per_tile)

@@ -56,6 +56,10 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
+    from havac_tpu.utils.backend import bounded_backend_init
+
+    bounded_backend_init(tag="fusebench")  # fail fast on a dead tunnel
+
     from havac_tpu.engine import Havac
     from havac_tpu.engine.pipeline import PipelinedSweep, _compact_tiles_impl
     from havac_tpu.io.fasta import SequenceDatabase
@@ -195,6 +199,22 @@ def main() -> int:
                 del o
             return np.asarray(pk[:1])
 
+        def run_fused_nodonate(n):
+            # HAVAC_DONATE=0 variant: the executable takes no tile/count
+            # buffers (internal temps, allocated per enqueue) and returns
+            # only (st, carry, packed...) — same arity the engine uses.
+            st, pk = istate0, None
+            for _ in range(n):
+                o = fused(symw, scores_dev, st, icarry0, reset_dev)
+                st, pk = o[0], o[2]
+                del o
+            return np.asarray(pk[:1])
+
+        if not sweep._donate:
+            # Each enqueue holds a fresh internal tile buffer — clamp the
+            # chain length like the other undonated variants.
+            run_fused = run_fused_nodonate
+
         # Undonated chains (kernel / k+c: the round-2 production flow) hold
         # one fresh tile buffer PER ENQUEUED DISPATCH in HBM (enqueue runs
         # far ahead of execution), so their chain length is clamped to keep
@@ -209,7 +229,8 @@ def main() -> int:
             variants += [("kernel", run_kernel, undon_reps),
                          ("k+c", run_kc, undon_reps)]
         variants += [("kernel-don", run_kernel_donated, args.reps),
-                     ("fused", run_fused, args.reps)]
+                     ("fused", run_fused,
+                      args.reps if sweep._donate else max(undon_reps, 1))]
         for name, fn, reps in variants:
             if name in ("kernel", "kernel-don") and k0 is not None:
                 del k0  # free the retained tile buffer (several GiB)

@@ -130,6 +130,9 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
+    from havac_tpu.utils.backend import bounded_backend_init
+
+    bounded_backend_init(tag="kbench")  # fail fast on a dead tunnel
     blocks = args.sweep_blocks or [args.blocks]
     for B in blocks:
         if args.kernel == "swar":

@@ -65,6 +65,7 @@ def main() -> int:
     import jax
     from havac_tpu.engine import Havac
     from havac_tpu.io.fasta import SequenceDatabase
+    from havac_tpu.utils.backend import bounded_backend_init
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--positions", type=int, default=150043)
@@ -78,6 +79,7 @@ def main() -> int:
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
+    bounded_backend_init(tag="race_paths")  # fail fast on a dead tunnel
     models, seq = synthetic_workload(args.positions, args.seq_len,
                                      args.composition)
     db = SequenceDatabase(

@@ -523,7 +523,10 @@ def main():
 
     import jax
 
-    print(f"# backend={jax.default_backend()} ws={args.ws} rows={args.rows} "
+    from havac_tpu.utils.backend import bounded_backend_init
+
+    print(f"# backend={bounded_backend_init(tag='roofline')} "
+          f"ws={args.ws} rows={args.rows} "
           f"lo={args.lo} hi={args.hi} (differential)")
     results = {}
     for name in args.variants:

@@ -127,6 +127,9 @@ def main() -> int:
                     "are warm (in-process jit cache, no recompilation)")
     args = ap.parse_args()
 
+    from havac_tpu.utils.backend import bounded_backend_init
+
+    bounded_backend_init(tag="runtime_table")  # fail fast on a dead tunnel
     rows = []
     for total in args.lengths:
         for it in range(args.repeat):
