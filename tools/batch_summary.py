@@ -43,6 +43,8 @@ def main() -> int:
             except (OSError, ValueError) as e:
                 print(f"{os.path.basename(path):22s} unreadable: {e}")
                 continue
+            if isinstance(rows, dict):  # provenance-stamped format (r4+)
+                rows = rows.get("rows", [])
             if not rows:
                 continue
             best, kind = _pick(rows)
@@ -74,6 +76,8 @@ def main() -> int:
     if os.path.exists(race):
         try:
             rows = json.load(open(race))
+            if isinstance(rows, dict):  # provenance-stamped format (r4+)
+                rows = rows.get("rows", [])
             print("\npath race (same dense 150k workload):")
             for r in rows:
                 print(f"  {r['path']:12s} iter{r.get('iter', 0)} "

@@ -54,6 +54,9 @@ def run_path(name: str, make_engine, models, db, repeat: int):
         if engine.stats.pipeline_prof:
             row["phases"] = {k: round(v, 3)
                              for k, v in engine.stats.pipeline_prof.items()}
+        row["native_active"] = engine.stats.native_active
+        if engine.stats.chunk_geometry:
+            row["chunk_geometry"] = engine.stats.chunk_geometry
         rows.append(row)
         print(json.dumps(row), flush=True)
     return rows
@@ -77,9 +80,16 @@ def main() -> int:
     ap.add_argument("--paths", nargs="*",
                     default=["pipelined", "mesh_step", "mesh_mono"])
     ap.add_argument("--json", default=None)
+    ap.add_argument("--allow-fallback", action="store_true",
+                    help="record even when the native host core is "
+                    "unavailable (tagged native_active=false)")
     args = ap.parse_args()
 
+    from havac_tpu.utils.provenance import provenance
+
     bounded_backend_init(tag="race_paths")  # fail fast on a dead tunnel
+    stamp = provenance(require_native=not args.allow_fallback)
+    print(json.dumps({"provenance": stamp}), flush=True)
     models, seq = synthetic_workload(args.positions, args.seq_len,
                                      args.composition)
     db = SequenceDatabase(
@@ -98,7 +108,7 @@ def main() -> int:
         all_rows += run_path(name, makers[name], models, db, args.repeat)
     if args.json:
         with open(args.json, "w") as f:
-            json.dump(all_rows, f, indent=2)
+            json.dump({"provenance": stamp, "rows": all_rows}, f, indent=2)
         print(f"# wrote {args.json}")
     return 0
 

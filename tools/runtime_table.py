@@ -125,11 +125,19 @@ def main() -> int:
     ap.add_argument("--repeat", type=int, default=1,
                     help="runs per size in one process; iteration >0 rows "
                     "are warm (in-process jit cache, no recompilation)")
+    ap.add_argument("--allow-fallback", action="store_true",
+                    help="record the artifact even when the native host "
+                    "core is unavailable (tagged native_active=false); "
+                    "without it a numpy-fallback capture hard-fails "
+                    "(the round-3 invalid-artifact incident)")
     args = ap.parse_args()
 
     from havac_tpu.utils.backend import bounded_backend_init
+    from havac_tpu.utils.provenance import provenance
 
     bounded_backend_init(tag="runtime_table")  # fail fast on a dead tunnel
+    stamp = provenance(require_native=not args.allow_fallback)
+    print(json.dumps({"provenance": stamp}), flush=True)
     rows = []
     for total in args.lengths:
         for it in range(args.repeat):
@@ -175,10 +183,39 @@ def main() -> int:
                     k: round(v, 3)
                     for k, v in engine.stats.pipeline_prof.items()}
             rows[-1]["composition"] = args.composition
+            # Per-run provenance: the fields that poisoned the round-3
+            # artifact when they silently flipped (VERDICT r3 weak #3).
+            rows[-1]["native_active"] = engine.stats.native_active
+            rows[-1]["overflow_retries"] = engine.stats.overflow_retries
+            if engine.stats.chunk_geometry:
+                rows[-1]["chunk_geometry"] = engine.stats.chunk_geometry
             print(json.dumps(rows[-1]), flush=True)
+    # Repeat statistics: single-shot numbers on this shared tunnel rig vary
+    # ±15% host-side; artifacts carry min/median over the warm iterations
+    # so readers need not re-derive them (VERDICT r3 weak #6).
+    summary = []
+    for total in args.lengths:
+        for kind, sel in (("warm", [r for r in rows
+                                    if r["model_positions"] == total
+                                    and r["iter"] > 0]),
+                          ("cold", [r for r in rows
+                                    if r["model_positions"] == total
+                                    and r["iter"] == 0])):
+            if not sel:
+                continue
+            secs = sorted(r["seconds"] for r in sel)
+            summary.append({
+                "model_positions": total, "kind": kind, "n": len(secs),
+                "min_s": round(secs[0], 3),
+                "median_s": round(secs[len(secs) // 2], 3),
+                "reference_havac_s": REFERENCE_SECONDS.get(total,
+                                                           (None,))[0],
+            })
+            print(json.dumps(summary[-1]), flush=True)
     if args.json:
         with open(args.json, "w") as f:
-            json.dump(rows, f, indent=2)
+            json.dump({"provenance": stamp, "rows": rows,
+                       "summary": summary}, f, indent=2)
     return 0
 
 
