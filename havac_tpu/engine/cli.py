@@ -162,18 +162,33 @@ def cmd_benchmark(args) -> int:
 
 
 def cmd_validate(args) -> int:
-    """Compare engine hits against nhmmer windows (tblout) — the
-    hmmerValidation executable analog (`test/hmmerValidation`)."""
+    """Compare engine hits against nhmmer windows — the hmmerValidation
+    executable analog (`test/hmmerValidation`). Windows come from a real
+    nhmmer ``--tblout`` file when one is given, otherwise from the
+    independent float-space SSV oracle (``validation/ssv_filter.py``, the
+    quantization-free scoring the reference's forensics tool second-sources
+    with, `test/hmmerSsvRef/hmmerSsvRef.cpp:166-325`) computed on the same
+    inputs — a non-circular cross-check that needs no HMMER install."""
     from havac_tpu.validation import (compare_containment,
                                       engine_hits_for_comparison, load_tblout)
 
+    if not args.tblout and args.oracle != "float-ssv":
+        print("validate: provide --tblout or --oracle float-ssv",
+              file=sys.stderr)
+        return 2
     engine = _build_engine(args)
     engine.load_phmm(args.hmm)
     engine.load_sequence(args.fasta)
     with _MaybeTrace(args.trace):
         engine.run()
     hits = engine_hits_for_comparison(engine)
-    windows = load_tblout(args.tblout)
+    if args.tblout:
+        windows = load_tblout(args.tblout)
+    else:
+        from havac_tpu.validation.ssv_filter import float_ssv_windows
+
+        windows = float_ssv_windows(engine.database, engine.models,
+                                    engine.p_value)
     # Forward-only runs compare against '+' windows only (nhmmer --watson
     # behavior); strand="both" runs keep '-' windows, matched by strand.
     report = compare_containment(hits, windows, slack=args.slack,
@@ -325,10 +340,16 @@ def main(argv=None) -> int:
     p_bench.set_defaults(fn=cmd_benchmark)
 
     p_val = sub.add_parser(
-        "validate", help="containment comparison vs nhmmer --tblout output")
+        "validate", help="containment comparison vs nhmmer --tblout output "
+        "or the independent float-SSV oracle")
     _add_common(p_val)
-    p_val.add_argument("--tblout", required=True,
-                       help="nhmmer --tblout file for the same hmm/fasta")
+    p_val.add_argument("--tblout", default=None,
+                       help="nhmmer --tblout file for the same hmm/fasta "
+                       "(omit to validate against --oracle float-ssv)")
+    p_val.add_argument("--oracle", default="float-ssv",
+                       choices=["float-ssv"],
+                       help="window source when no --tblout is given: the "
+                       "independent quantization-free SSV oracle")
     p_val.add_argument("--slack", type=int, default=0,
                        help="window-edge tolerance in positions")
     p_val.add_argument("--min-recall", type=float, default=0.98,

@@ -12,6 +12,11 @@ from havac_tpu.validation.quantization import (
     diagonal_scores_int8,
     quantization_report,
 )
+from havac_tpu.validation.ssv_filter import (
+    float_projected_scores,
+    float_ssv_crossings,
+    float_ssv_windows,
+)
 
 __all__ = [
     "ContainmentReport",
@@ -21,6 +26,9 @@ __all__ = [
     "diagonal_scores_float",
     "diagonal_scores_int8",
     "engine_hits_for_comparison",
+    "float_projected_scores",
+    "float_ssv_crossings",
+    "float_ssv_windows",
     "load_tblout",
     "parse_tblout",
     "quantization_report",

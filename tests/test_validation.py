@@ -133,3 +133,91 @@ def test_quantization_report_planted_vs_background():
     assert rep_cold.agreements == rep_cold.num_windows
     # pass@250 is at least as permissive as pass@256.
     assert rep_hot.int8_pass_250 >= rep_hot.int8_pass_256
+
+
+# ---------------------------------------------------------------------------
+# Independent float-space SSV oracle (VERDICT r3 #7): the engine validated
+# against a quantization-free reimplementation of nhmmer's SSV scoring that
+# shares only the published spec, not code, with the engine/kernel paths.
+# ---------------------------------------------------------------------------
+
+
+def test_float_oracle_crossings_match_scalar_oracle_when_exact():
+    """With integer-valued float scores the float oracle must agree with
+    ops.reference exactly (no quantization boundary to disagree across)."""
+    from havac_tpu.ops.reference import ssv_reference
+    from havac_tpu.validation.ssv_filter import float_ssv_crossings
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=5000).astype(np.uint8)
+    scores = rng.integers(-40, 36, size=(60, 4)).astype(np.int8)
+    res, _ = ssv_reference(codes, scores)
+    rows, pos, sc = float_ssv_crossings(codes, scores.astype(np.float32))
+    assert sorted(zip(rows.tolist(), pos.tolist())) == sorted(
+        zip(res.hit_rows.tolist(), res.hit_positions.tolist()))
+    assert (sc >= 256.0).all()
+
+
+def test_engine_vs_independent_float_oracle_containment():
+    """The containment rung against the NON-circular oracle: engine hits
+    inside float-oracle windows and vice versa, with the residual
+    disagreement bounded and explained by the quantization report
+    (the hmmerValidation + hmmerSsvRef pairing,
+    `test/hmmerValidation/hmmerValidation.cpp:77-132`)."""
+    from havac_tpu.validation import float_ssv_windows
+
+    engine = run_engine()
+    hits = engine_hits_for_comparison(engine)
+    assert hits
+    windows = float_ssv_windows(engine.database, engine.models,
+                                engine.p_value)
+    assert windows, "planted fixture must cross the float threshold"
+    report = compare_containment(hits, windows, slack=2)
+    # int8 rounding can move borderline chains across the threshold in
+    # either direction; the planted instances are far above it, so
+    # bidirectional recall must stay high.
+    assert report.hit_recall >= 0.9, report.uncontained_hits[:10]
+    assert report.window_recall >= 0.9, report.uncovered_windows[:10]
+    # Quantify the residue: windows re-scored int8-vs-float must agree on
+    # nearly all windows (the quantization report is the explanation for
+    # any non-1.0 recall above).
+    db = engine.database
+    for mi, model in enumerate(engine.models):
+        wins = [w for w in windows
+                if (w.query_accession or w.query_name)
+                == (model.accession or model.name)]
+        if not wins:
+            continue
+        segs = []
+        for w in wins:
+            si = db.names.index(w.target_name)
+            s = int(db.starts[si])
+            segs.append(db.codes[s + w.seq_lo - 1:s + w.seq_hi])
+        rep = quantization_report(segs, model, p_value=engine.p_value)
+        assert rep.disagreement_rate <= 0.1, rep
+        # Float windows exist because float crossed 256; int8 should pass
+        # at the relaxed 250 threshold on nearly all of them.
+        assert rep.int8_pass_250 >= int(0.9 * rep.num_windows), rep
+
+
+def test_validate_cli_with_float_oracle(tmp_path, capsys):
+    """`validate` without --tblout runs against the independent oracle."""
+    import json
+
+    from havac_tpu.engine.cli import main
+    from havac_tpu.io.hmm import write_hmm
+
+    models, records = generate_planted_fixture(
+        seed=31, model_length=48, sequence_length=4000, num_models=2)
+    hmm = str(tmp_path / "m.hmm")
+    fasta = str(tmp_path / "db.fasta")
+    write_hmm(models, hmm)
+    with open(fasta, "w") as f:
+        f.write("".join(f">{n}\n{s}\n" for n, s in records))
+    rc = main(["validate", "--hmm", hmm, "--fasta", fasta,
+               "--backend", "xla", "--pvalue", "0.05",
+               "--slack", "2", "--min-recall", "0.9"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0, out
+    assert out["num_nhmmer_windows"] > 0
+    assert out["hit_recall"] >= 0.9 and out["window_recall"] >= 0.9
