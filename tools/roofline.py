@@ -48,6 +48,12 @@ Variants:
   andmatch  — multiply-free match construction: full-field indicator masks
               (precomputed per block) + biased deltas turn the three
               per-field selects into ANDs; wins iff int32 multiply > 1 slot.
+  stripmatch — VERDICT-r3 #5: per-strip match precompute — the strip's K
+              match planes materialized into VMEM scratch once, hot loop
+              loads instead of reconstructing. Prices a load vs the 6-op
+              inline construction (total ops do not drop: the planes are
+              built once per (block, strip) either way and never reused
+              across blocks).
   mxumatch / mxumatch8 — VERDICT-r2 #2: per-flush (10,4)×(4,3·WS·128)
               dot_general on the MXU replacing match construction, repack
               included (bf16→f32 / int8→int32).
@@ -304,6 +310,85 @@ def make_variant(name: str, WS: int, K: int, interpret: bool = False):
         jitted = jax.jit(lambda reps: call(reps, scores, *planes))
         return jitted, K * int32_cells, "3 cells / int32 lane"
 
+    if name == "stripmatch":
+        # VERDICT-r3 #5: per-strip match precompute. Phase 1 materializes the
+        # strip's K match-word planes into a VMEM scratch (K × WS×128 int32 —
+        # 5 MB at the probe WS=336, ~15 MB at engine WS=1008, hence reduced-WS
+        # prototyping); phase 2 is the hot loop with the per-row 6-op
+        # indicator construction replaced by one VMEM load. Total vector ops
+        # do NOT drop — the planes are built from the same indicator
+        # contraction once per (block, strip) either way (no reuse across
+        # blocks: match depends on the block's symbols) — so this prices
+        # whether a load beats recomputation on the VPU's issue slots.
+        def kernel_strip(reps_smem, scores_smem, i1_ref, i2_ref, i3_ref,
+                         out_ref, mp_ref):
+            i1 = i1_ref[:]
+            i2 = i2_ref[:]
+            i3 = i3_ref[:]
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (WS, 128), 1)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (WS, 128), 0)
+            col0 = col_ids == 0
+            pos00 = jnp.logical_and(col0, row_ids == 0)
+            fmv = jnp.int32(fm)
+
+            def body(r, carry):
+                state, bits, acc = carry
+                sidx = jax.lax.rem(r, NS)
+                for k in range(K):  # phase 1: build the strip's planes
+                    m0 = scores_smem[sidx, k, 0]
+                    m1 = scores_smem[sidx, k, 1]
+                    m2 = scores_smem[sidx, k, 2]
+                    m3 = scores_smem[sidx, k, 3]
+                    mp_ref[k] = ((m0 * fmv) + i1 * (m1 - m0)
+                                 + i2 * (m2 - m0) + i3 * (m3 - m0))
+                for k in range(K):  # phase 2: hot loop, match = one load
+                    match = mp_ref[k]
+                    rolled = pltpu.roll(state, 1, 1)
+                    rolled_sub = pltpu.roll(rolled, 1, 0)
+                    shifted = jnp.where(col0, rolled_sub, rolled)
+                    stitch = (rolled_sub << 10) | jnp.int32(7)
+                    shifted = jnp.where(pos00, stitch, shifted)
+                    w = shifted + match
+                    t9 = w >> 9
+                    hit = t9 & fmv
+                    bits = (bits << 1) | hit
+                    kmask = (w >> 8) & ~t9 & fmv
+                    state = w & (kmask * 255)
+                    if (k + 1) % ROWS_PER_FLUSH == 0:
+                        acc = acc ^ bits
+                        bits = jnp.zeros_like(state)
+                return state, bits, acc
+
+            z = jnp.zeros_like(i1)
+            state, bits, acc = jax.lax.fori_loop(
+                0, reps_smem[0], body, (i1, z, z))
+            out_ref[:] = state + bits + acc
+
+        rng = np.random.default_rng(0)
+        sym = rng.integers(0, 4, size=(WS, 128))
+        planes = [jax.numpy.asarray(((sym == a) * FMASK).astype(np.int32))
+                  for a in (1, 2, 3)]
+        scores = jax.numpy.asarray(
+            rng.integers(128, 384, size=(NS, K, 4)).astype(np.int32))
+        call = pl.pallas_call(
+            kernel_strip,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((WS, 128), jax.numpy.int32),
+            scratch_shapes=[
+                pltpu.VMEM((K, WS, 128), jax.numpy.int32),  # match planes
+            ],
+            interpret=interpret,
+        )
+        jitted = jax.jit(lambda reps: call(reps, scores, *planes))
+        return jitted, K * int32_cells, "3 cells / int32 lane, strip planes"
+
     if name in ("mxumatch", "mxumatch8"):
         # VERDICT-r2 #2: the MXU match-construction experiment. Per flush of
         # 10 rows, ONE dot_general contracts the one-hot symbol planes
@@ -502,7 +587,8 @@ def make_variant(name: str, WS: int, K: int, interpret: bool = False):
 
 
 VARIANTS = ["current", "perrow", "leanhit", "nomatch", "noroll", "addonly",
-            "mulcost", "andmatch", "mxumatch", "mxumatch8", "add16"]
+            "mulcost", "andmatch", "stripmatch", "mxumatch", "mxumatch8",
+            "add16"]
 
 
 def main():
