@@ -768,6 +768,7 @@ class Havac:
                 "chunk_symbols": sweep.chunk, "chunk_rows": sweep.rchunk,
                 "maxt": sweep._chunk_maxt(), "record_cap": sweep.record_cap,
                 "lookahead": sweep._lookahead,
+                "pull_batch": sweep._pull_batch,
             }
             if self.checkpoint_path and os.path.exists(self.checkpoint_path):
                 os.remove(self.checkpoint_path)

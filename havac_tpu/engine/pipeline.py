@@ -54,7 +54,8 @@ _COMPACT_SPLIT_JIT = None
 
 def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
                       maxt: int, cap: int, interpret: bool, isolate: bool,
-                      split: bool = False, donate: bool = True):
+                      split: bool = False, donate: bool = True,
+                      batch: int = 0):
     """Module-level cache of the fused kernel+compaction executable.
 
     MUST be global, not per-sweep: the engine builds a fresh PipelinedSweep
@@ -64,11 +65,50 @@ def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
     an instance-level cache put ~10 s of recompilation inside every timed
     run (the round-2 design's module-level kernel jit had no such cost)."""
     key = (packing, block_words, rows_per_strip, maxt, cap, interpret,
-           isolate, split, donate)
+           isolate, split, donate, batch)
     fn = _FUSED_CACHE.get(key)
     if fn is not None:
         return fn
     import jax
+
+    if batch:
+        # Batched-pull flow (requires packing=3 + donate + split): the
+        # chunk's header and valid record prefix are APPENDED on device to
+        # caller-owned accumulator buffers — ``hdrbuf`` (batch, 1+maxt) by
+        # host-tracked slot, ``recbuf`` (batch·2·cap,) at the device-resident
+        # running offset ``roff`` — so the host pulls TWO transfers per
+        # batch of chunks instead of two per chunk. On this rig every D2H
+        # transfer serializes with the execution stream at ~25 ms latency +
+        # ~40 MB/s (benchmarks/pullprobe_v5e.json: header-only pulls alone
+        # cost +26.6 ms/chunk over the 84.5 ms fused floor), so per-chunk
+        # pulls taxed the 150k sweep ~50%. Overflowed chunks (nrec > cap)
+        # advance ``roff`` by the clamped 2·cap — their truncated records
+        # are garbage, but the engine re-dispatches them at a grown cap
+        # anyway, and later chunks in the batch stay intact.
+        if packing != 3 or not donate or not split:
+            raise ValueError("batched pulls require the donated SWAR "
+                             "slice-pull flow")
+        from havac_tpu.ops import ssv_swar as mod
+
+        def fused_batch(symw, scores_dev, istate, icarry, reset_dev,
+                        tiles_buf, cnts_buf, hdrbuf, recbuf, roff, slot):
+            out = mod._ssv_swar_jit(
+                symw, scores_dev, istate, icarry, reset_dev, tiles_buf,
+                cnts_buf, block_words=block_words, max_hit_tiles=maxt,
+                interpret=interpret, isolate=isolate)
+            header, rec = _compact_tiles_split(out[4], out[5], out[2],
+                                               out[3][0], cap=cap)
+            hdrbuf = jax.lax.dynamic_update_slice(hdrbuf, header[None],
+                                                  (slot, 0))
+            recbuf = jax.lax.dynamic_update_slice(recbuf, rec, (roff,))
+            import jax.numpy as jnp
+
+            roff = roff + 2 * jnp.minimum(header[0], cap)
+            return (out[0], out[1], hdrbuf, recbuf, roff, out[4], out[5])
+
+        fn = jax.jit(fused_batch, donate_argnums=(5, 6, 7, 8))
+        _FUSED_CACHE[key] = fn
+        return fn
 
     if packing == 3:
         from havac_tpu.ops import ssv_swar as mod
@@ -149,11 +189,18 @@ _RECORD_CAP_HINT = 0  # process-wide learned record cap (see PipelinedSweep)
 
 
 def _pull_bucket(k: int) -> int:
-    """Smallest power of two ≥ k (min 4096). Slice-pull lengths are bucketed
-    because every DISTINCT slice shape is its own executable — i.e. a remote
-    compile on this rig — so the pull pays at most 2× the valid bytes in
-    exchange for ≤ log2(2·cap/4096) compiled slice shapes per process."""
-    return 1 << max(12, (int(k) - 1).bit_length())
+    """Bucketed slice-pull length: smallest power of two ≥ k (min 4096) up
+    to 2^18 ints, then the next MULTIPLE of 2^18 (1 MiB). Lengths are
+    bucketed because every distinct slice shape is its own executable —
+    i.e. a remote compile on this rig. Pure pow2 buckets overshoot ≤ 2×,
+    which at the batched slab scale shipped ~3 MB of padding per ~5 MB
+    batch over a ~40 MB/s serialized tunnel (benchmarks/pullprobe_v5e.json)
+    — linear 1 MiB steps cap the overshoot at 1 MB while keeping the shape
+    count bounded (≤ 6 pow2 + slab-size/1 MiB shapes, prewarmed)."""
+    k = int(k)
+    if k <= (1 << 18):
+        return 1 << max(12, (k - 1).bit_length())
+    return round_up(k, 1 << 18)
 
 
 def _compact_tiles_impl(otiles, ocnts, ometa, count, cap: int):
@@ -213,7 +260,42 @@ def _compact_tiles_split(otiles, ocnts, ometa, count, cap: int):
     return header, rec
 
 
+def _cumsum_1d_exact(v, tri):
+    """Inclusive cumsum of a 1D nonnegative int32 vector (total < 2^24) via
+    ONE (N/128, 128) @ triangular MXU contraction plus a tiny second-level
+    cumsum — f32-exact by the bound. Lengths are padded to a multiple of
+    128 (engine caps are 4096-multiples; tests use tiny caps)."""
+    import jax.numpy as jnp
+
+    N0 = v.shape[0]
+    N = round_up(max(N0, 1), 128)
+    if N != N0:
+        v = jnp.pad(v, (0, N - N0))
+    x = v.reshape(N // 128, 128).astype(jnp.float32)
+    c = x @ tri
+    tails = c[:, 127]
+    offs = jnp.cumsum(tails) - tails  # (N/128,): small, plain cumsum
+    return (c + offs[:, None]).reshape(N).astype(jnp.int32)[:N0]
+
+
 def _compact_tiles_core(otiles, ocnts, count, cap: int):
+    """Three-level record search over the count sidecar.
+
+    TPU op choices (measured, benchmarks/opbench_v5e.json @ cap 176k):
+      * level-1 block assignment: the queries are the SORTED ranks 0..cap-1,
+        so ``searchsorted`` (9.6 ms — the single most expensive op in the
+        round-3 compaction) collapses to a 743-element scatter + one 1D
+        cumsum: bi[r] = #{row_offs ≤ r}.
+      * every lane-axis reduction/cumsum/take runs as an MXU contraction
+        (mask @ ones = 1.0 ms vs 2.1; x @ triangular = 1.05 vs 1.6;
+        onehot-dot ≈ 1.0 vs take_along's 1.9). All f32 paths are exact:
+        compares of ints through f32 are monotone (and both sides < 2^24
+        whenever the compare is close), mask sums ≤ 128, per-group cumsums
+        ≤ 16k, gathered prefix values ≤ the record's rank ≤ cap < 2^24.
+      * ``words`` stays int32 take_along — bitmap words use 30 bits and
+        must not round through f32.
+    """
+    import jax
     import jax.numpy as jnp
 
     maxt, WS, _ = otiles.shape
@@ -222,15 +304,11 @@ def _compact_tiles_core(otiles, ocnts, count, cap: int):
     NG = maxt * 8
     rows = otiles.reshape(R, 128)
     # ocnts is (maxt, 8, C>=WS/8): [slot, i, g] counts sublane row i*C+g
-    # (lane-padded by the kernel; sliced off here). The search structure is
-    # THREE-LEVEL, following the sidecar's natural (slot, i) blocks: group
-    # totals fold into 128-group prefix rows, records coarse-search the
-    # tiny per-row totals (searchsorted over NB ≈ NG/128 entries — the
-    # r2 version searched all NG = maxt·8 groups per record, which
-    # compactbench measured as the dominant 2.9 ms), then locate their
-    # group inside ONE gathered 128-lane prefix row by compare-count, and
-    # finally their word by the in-group lane prefix. No R-length (4M)
-    # cumsum and no NG-length per-record search ever materializes.
+    # (lane-padded by the kernel; sliced off here). Structure: group totals
+    # fold into 128-group prefix rows; records locate their prefix row
+    # (level 1), their group inside ONE gathered 128-lane prefix row
+    # (level 2), and their word by the in-group lane prefix (level 3). No
+    # R-length (4M) cumsum and no NG-length per-record search materializes.
     cnt_g = ocnts[:, :, :C].reshape(NG, C)
     g_tot = jnp.sum(cnt_g, axis=1)  # (NG,)
     # Stale slots beyond ``count`` are excluded here, on the (NG,) totals —
@@ -240,37 +318,57 @@ def _compact_tiles_core(otiles, ocnts, count, cap: int):
     NB = (NG + 127) // 128
     g2 = jnp.zeros((NB, 128), jnp.int32).reshape(-1).at[:NG].set(
         g_tot).reshape(NB, 128)
-    in_row = jnp.cumsum(g2, axis=1)  # (NB, 128) lane prefix
+    in_row = jnp.cumsum(g2, axis=1)  # (NB, 128) lane prefix — small
     row_tot = in_row[:, 127]  # (NB,)
     row_offs = jnp.cumsum(row_tot)  # inclusive per-prefix-row totals
     offs2 = in_row + (row_offs - row_tot)[:, None]  # global inclusive prefix
     nrec = row_offs[NB - 1]
     r = jnp.arange(cap, dtype=jnp.int32)
-    bi = jnp.searchsorted(row_offs, r + 1, side="left").astype(jnp.int32)
+    ones = jnp.ones((128, 1), jnp.float32)
+    tri = jnp.triu(jnp.ones((128, 128), jnp.float32))
+
+    def dotsum(mask_or_f32):
+        m = mask_or_f32.astype(jnp.float32)
+        return jax.lax.dot_general(
+            m, ones, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[:, 0]
+
+    # Level 1: bi = searchsorted(row_offs, r+1, 'left') for SORTED iota
+    # queries == #{j: row_offs[j] ≤ r} == cumsum of a tiny scatter.
+    marks = jnp.zeros((cap + 128,), jnp.int32).at[
+        jnp.minimum(row_offs, cap)].add(1)
+    bi = _cumsum_1d_exact(marks[:cap], tri)
     bic = jnp.clip(bi, 0, NB - 1)
     win = offs2[bic]  # (cap, 128) — the record's 128-group prefix window
-    gl = jnp.sum((win < (r + 1)[:, None]).astype(jnp.int32), axis=1)
+    gl = dotsum(win < (r + 1)[:, None]).astype(jnp.int32)
     glc = jnp.clip(gl, 0, 127)
     gic = jnp.clip(bic * 128 + glc, 0, NG - 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 128), 1)
     row_base = (row_offs - row_tot)[bic]
-    g_prev = jnp.where(
-        glc > 0,
-        jnp.take_along_axis(win, jnp.clip(glc - 1, 0, None)[:, None],
-                            axis=1)[:, 0], row_base)
+    oh_prev = jnp.logical_and(lane_iota == (glc - 1)[:, None],
+                              (glc > 0)[:, None])
+    g_prev_f = dotsum(win.astype(jnp.float32)
+                      * oh_prev.astype(jnp.float32))
+    g_prev = jnp.where(glc > 0, g_prev_f.astype(jnp.int32), row_base)
     grank = r + 1 - g_prev  # 1-based rank within the group
-    crow = cnt_g[gic]  # (cap, C) gather of per-row counts
-    ccum = jnp.cumsum(crow, axis=1)
-    gpos = jnp.sum((ccum < grank[:, None]).astype(jnp.int32), axis=1)
+    if C != 128:
+        cnt128 = jnp.zeros((NG, 128), jnp.int32).at[:, :C].set(cnt_g)
+    else:
+        cnt128 = cnt_g
+    crow = cnt128[gic].astype(jnp.float32)  # (cap, 128) per-row counts
+    ccum = crow @ tri  # lane cumsum on the MXU (values ≤ 16k: exact)
+    gpos = dotsum(ccum < grank.astype(jnp.float32)[:, None]).astype(
+        jnp.int32)
     gposc = jnp.clip(gpos, 0, C - 1)
-    row_prev = jnp.where(
-        gposc > 0,
-        jnp.take_along_axis(ccum, jnp.clip(gposc - 1, 0, None)[:, None],
-                            axis=1)[:, 0], 0)
+    oh_rp = jnp.logical_and(lane_iota == (gposc - 1)[:, None],
+                            (gposc > 0)[:, None])
+    row_prev = dotsum(ccum * oh_rp.astype(jnp.float32)).astype(jnp.int32)
     rank = grank - row_prev  # 1-based rank within the row
     row_rc = (gic // 8) * WS + (gic % 8) * C + gposc
     sel = rows[row_rc]  # (cap, 128) — the only read of the tile buffer
-    rowcum = jnp.cumsum((sel != 0).astype(jnp.int32), axis=1)
-    lane = jnp.sum((rowcum < rank[:, None]).astype(jnp.int32), axis=1)
+    rowcum = (sel != 0).astype(jnp.float32) @ tri
+    lane = dotsum(rowcum < rank.astype(jnp.float32)[:, None]).astype(
+        jnp.int32)
     lanec = jnp.clip(lane, 0, 127)
     words = jnp.take_along_axis(sel, lanec[:, None], axis=1)[:, 0]
     ok = r < nrec
@@ -522,6 +620,22 @@ class PipelinedSweep:
         # A/B): only the SWAR path emits the split record layout.
         self._slice_pull = (config.packing == 3 and
                             _os.environ.get("HAVAC_SLICE_PULL", "1") != "0")
+        #   HAVAC_PULL_BATCH=k    — chunks whose records accumulate on
+        #                           device before ONE header + ONE record
+        #                           pull (default 8; 0/1 = legacy per-chunk
+        #                           pulls). Every D2H transfer on this rig
+        #                           serializes with the execution stream at
+        #                           ~25 ms + bytes/40 MB/s
+        #                           (benchmarks/pullprobe_v5e.json), so
+        #                           per-chunk pulls taxed dense sweeps ~50%.
+        self._pull_batch = int(_os.environ.get("HAVAC_PULL_BATCH", "8"))
+        if not (self._fuse and self._donate and self._slice_pull):
+            self._pull_batch = 0  # batched appends require the fused
+            #                       donated slice-pull executable
+        if self._pull_batch == 1:
+            self._pull_batch = 0
+        self._batch_free: List = []  # recycled (hdrbuf, recbuf) sets
+        self._batch_bufs_cap = 0  # cap the free sets were sized for
         _bgb = _os.environ.get("HAVAC_TILE_BUDGET_GB")
         if _bgb:
             self.tile_budget_bytes = int(float(_bgb) * (1 << 30))
@@ -647,8 +761,42 @@ class PipelinedSweep:
             B, WS = symw.shape[0], symw.shape[1]
             istate = jnp.zeros((B, WS, 128), jnp.int32)
             icarry = jnp.zeros(self._rows1[0], jnp.int32)
+            maxt = self._chunk_maxt()
+            if self._pull_batch:
+                # Batched flow: warm the batched executable AND converge
+                # the record cap on chunk 0's real density here (the warm
+                # dispatch sweeps real symbols/scores), so the first timed
+                # run neither recompiles nor pays the overflow-redispatch
+                # storm a too-small cap causes across a whole batch.
+                global _RECORD_CAP_HINT
+                for _ in range(3):
+                    cap = self.record_cap
+                    hb, rb = self._alloc_batch_bufs(maxt, cap)
+                    out = self._dispatch_batched(
+                        symw, self._scores_dev[0], istate, icarry, maxt,
+                        self._reset_dev[0], cap, hb, rb,
+                        jnp.zeros((), jnp.int32), 0)
+                    n0 = int(np.asarray(out[2][:1, :1])[0, 0])
+                    hb2, rb2 = out[2], out[3]
+                    # Prewarm the record-slab bucket slice shapes (each
+                    # distinct slice length is one remote compile).
+                    k = _pull_bucket(1)
+                    slices = []
+                    while k < rb2.shape[0]:
+                        slices.append(rb2[:k])
+                        k = (k * 2 if k < (1 << 18)
+                             else k + (1 << 18))  # _pull_bucket's ladder
+                    for s in slices:
+                        s.block_until_ready()
+                    self._batch_free.append((cap, hb2, rb2))
+                    if n0 <= cap:
+                        break
+                    self.record_cap = round_up(n0 + n0 // 2, 4096)
+                    _RECORD_CAP_HINT = max(_RECORD_CAP_HINT,
+                                           self.record_cap)
+                return
             out = self._dispatch_fused(symw, self._scores_dev[0], istate,
-                                       icarry, self._chunk_maxt(),
+                                       icarry, maxt,
                                        self._reset_dev[0], self.record_cap)
             np.asarray(out[2][:1])
             if self._slice_pull:
@@ -660,7 +808,8 @@ class PipelinedSweep:
                 slices = []
                 while k < 2 * self.record_cap:
                     slices.append(rec[:k])
-                    k *= 2
+                    k = (k * 2 if k < (1 << 18)
+                         else k + (1 << 18))  # _pull_bucket's ladder
                 slices.append(rec[:2 * self.record_cap])
                 for s in slices:
                     s.block_until_ready()
@@ -690,7 +839,7 @@ class PipelinedSweep:
                                                     self.W // 128, 128)
         return self.jnp.asarray(blocks), lo, hi - lo
 
-    def _get_fused(self, maxt: int, cap: int):
+    def _get_fused(self, maxt: int, cap: int, batch: int = 0):
         """One jitted executable for kernel + record compaction: halves the
         per-chunk dispatch count (each enqueue costs ~1.3 ms of host time on
         the tunnel rig) and leaves the dirty-tile buffer internal to the
@@ -701,14 +850,14 @@ class PipelinedSweep:
             raise NotImplementedError(
                 "isolate_models requires the SWAR kernel (packing=3) or the "
                 "XLA backend")
-        key = (maxt, cap)
+        key = (maxt, cap, batch)
         fn = self._fused.get(key)
         if fn is None:
             fn = _get_fused_global(
                 self.cfg.packing,
                 self.W3 if self.cfg.packing == 3 else self.W, self.K, maxt,
                 cap, bool(self.cfg.interpret), self._isolate,
-                split=self._slice_pull, donate=self._donate)
+                split=self._slice_pull, donate=self._donate, batch=batch)
             self._fused[key] = fn
         return fn
 
@@ -778,6 +927,43 @@ class PipelinedSweep:
             self.prof["compile"] += time.perf_counter() - t0
             self._dispatched.add(key)
         return out
+
+    def _alloc_batch_bufs(self, maxt: int, cap: int):
+        """One (hdrbuf, recbuf) accumulator set for the batched-pull flow,
+        recycled across batches (the handles are donated into every chunk's
+        dispatch; the host holds them only while a sealed batch is pulled).
+        The free pool is cap-tagged — recbuf is sized batch·2·cap and a
+        stale-cap set must never reach an executable compiled for a bigger
+        cap (dynamic_update_slice would clamp and corrupt records)."""
+        while self._batch_free:
+            c, hb, rb = self._batch_free.pop()
+            if c == cap:  # stale-cap sets are simply dropped
+                return hb, rb
+        jnp = self.jnp
+        kb = self._pull_batch
+        return (jnp.zeros((kb, 1 + maxt), jnp.int32),
+                jnp.zeros((kb * 2 * cap,), jnp.int32))
+
+    def _dispatch_batched(self, symw, scores_dev, istate, icarry, maxt: int,
+                          reset_dev, cap: int, hdrbuf, recbuf, roff,
+                          slot: int):
+        """Batched-pull dispatch: ONE fused execution sweeps the chunk,
+        compacts its records, and appends header + valid record prefix to
+        the batch accumulators (see _get_fused_global's ``batch`` flow).
+        Returns (ostate, ocarry, hdrbuf', recbuf', roff')."""
+        key = ("batch", maxt, cap)
+        first = key not in self._dispatched
+        t0 = time.perf_counter() if first else 0.0
+        fn = self._get_fused(maxt, cap, batch=self._pull_batch)
+        tiles, cnts = self._hit_bufs(maxt)
+        (ostate, ocarry, hdrbuf, recbuf, roff, self._tiles_dev,
+         self._cnts_dev) = fn(symw, scores_dev, istate, icarry, reset_dev,
+                              tiles, cnts, hdrbuf, recbuf, roff,
+                              np.int32(slot))
+        if first:
+            self.prof["compile"] += time.perf_counter() - t0
+            self._dispatched.add(key)
+        return ostate, ocarry, hdrbuf, recbuf, roff
 
     def _decode_packed(self, packed: np.ndarray, n: int, cap: int, ri: int,
                        lo: int, Lc: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -954,10 +1140,15 @@ class PipelinedSweep:
                 # and re-dispatch the fused chunk (its retained inputs
                 # are in ``inputs``; one extra ~25 ms kernel run, at
                 # most a handful of times per process as the cap
-                # converges on the workload's density).
+                # converges on the workload's density). Growth is 1.5× the
+                # OBSERVED count, not a doubling of the cap: compaction
+                # compute scales ~linearly with cap (17.3 ms at cap 110k
+                # vs 4.2 ms at 25k, fusebench/compactbench), so the old
+                # rule's 2× overshoot billed every subsequent chunk.
                 global _RECORD_CAP_HINT
-                self.record_cap = max(self.record_cap,
-                                      max(cap * 2, round_up(n, 1024)))
+                self.record_cap = max(
+                    self.record_cap,
+                    round_up(max(n + n // 2, cap + 1024), 4096))
                 _RECORD_CAP_HINT = max(_RECORD_CAP_HINT, self.record_cap)
                 self.overflow_retries += 1
                 return self.record_cap
@@ -1050,6 +1241,100 @@ class PipelinedSweep:
                         break  # can't probe: leave to the bounded drains
                     drain_slice()
 
+            # ---- batched-pull flow (HAVAC_PULL_BATCH, the default) ----
+            # Every D2H transfer serializes with the execution stream on
+            # this rig (~25 ms latency + bytes at ~40 MB/s,
+            # benchmarks/pullprobe_v5e.json — worker-thread pulls do NOT
+            # overlap either), so records accumulate ON DEVICE across
+            # ``kb`` chunks and cross in TWO transfers per batch.
+            kb = self._pull_batch
+            cur_batch: List = []  # [hdrbuf, recbuf, roff, metas] or []
+            pendb: List = []  # sealed batches awaiting their pull
+
+            def seal_batch():
+                hb, rb, _roff, metas, _bcap = cur_batch
+                del cur_batch[:]
+                try:
+                    hb.copy_to_host_async()
+                except AttributeError:  # pragma: no cover - older jax
+                    pass
+                pendb.append((hb, rb, metas))
+
+            def redispatch_overflow(meta, n):
+                # Rare: this chunk overflowed the record cap inside the
+                # batch; its appended records are truncated garbage. Re-run
+                # kernel+compaction at a grown cap as a single-chunk batch
+                # and pull directly (blocking). The grown-cap batched
+                # executable is compiled here and then serves every
+                # subsequent batch, so the overflow path adds no extra
+                # compile beyond the one cap growth forces anyway; overflow
+                # converges to zero once the cap hint learns the density.
+                inputs, ci_cap, ri, lo, Lc = meta
+                symw_i, istate_i, icarry_i, maxt_i = inputs
+                cap2 = _grow_cap(n, ci_cap)
+                while True:
+                    hb2, rb2 = self._alloc_batch_bufs(maxt_i, cap2)
+                    o = self._dispatch_batched(
+                        symw_i, self._scores_dev[ri], istate_i, icarry_i,
+                        maxt_i, self._reset_dev[ri], cap2, hb2, rb2,
+                        jnp.zeros((), jnp.int32), 0)
+                    hdr2 = np.asarray(o[2])[0]
+                    n2 = int(hdr2[0])
+                    if n2 <= cap2:
+                        k2 = min(_pull_bucket(2 * n2), rb2.shape[0])
+                        rec2 = np.asarray(o[3][:k2])
+                        self._batch_free.append((cap2, o[2], o[3]))
+                        break
+                    self._batch_free.append((cap2, o[2], o[3]))
+                    cap2 = _grow_cap(n2, cap2)
+                futures.append(pool.submit(self._decode_split, hdr2, rec2,
+                                           n2, ri, lo, Lc))
+
+            def drain_batch():
+                hb, rb, metas = pendb.pop(0)
+                t0 = time.perf_counter()
+                _wait_ready(hb)
+                t1 = time.perf_counter()
+                headers = np.asarray(hb)
+                t2 = time.perf_counter()
+                self.prof["ready_wait"] += t1 - t0
+                self.prof["fetch"] += t2 - t1
+                ns = headers[:len(metas), 0].astype(np.int64)
+                # Per-chunk record extents: the device advanced roff by the
+                # CLAMPED 2·min(n, cap) per chunk (cap may differ per chunk
+                # if it grew mid-batch), so offsets reconstruct exactly.
+                offs = np.zeros(len(metas) + 1, dtype=np.int64)
+                for i, meta in enumerate(metas):
+                    offs[i + 1] = offs[i] + 2 * min(int(ns[i]), meta[1])
+                total = int(offs[-1])
+                recs = np.empty(0, dtype=np.int32)
+                if total:
+                    k = min(_pull_bucket(total), rb.shape[0])
+                    sl = rb[:k]
+                    try:
+                        sl.copy_to_host_async()
+                    except AttributeError:  # pragma: no cover - older jax
+                        pass
+                    t3 = time.perf_counter()
+                    _wait_ready(sl)
+                    t4 = time.perf_counter()
+                    recs = np.asarray(sl)
+                    self.prof["ready_wait"] += t4 - t3
+                    self.prof["fetch"] += time.perf_counter() - t4
+                for i, meta in enumerate(metas):
+                    _inputs, ci_cap, ri, lo, Lc = meta
+                    n = int(ns[i])
+                    if n > ci_cap:
+                        redispatch_overflow(meta, n)
+                    else:
+                        futures.append(pool.submit(
+                            self._decode_split, headers[i],
+                            recs[offs[i]:offs[i + 1]], n, ri, lo, Lc))
+                self.prof["pull"] += time.perf_counter() - t0
+                # Recycle under the batch's cap tag (all chunks in a batch
+                # dispatch at the cap the batch was opened with).
+                self._batch_free.append((metas[0][1], hb, rb))
+
             for ci in range(start_ci, self.n_col):
                 symw, lo, Lc = self._pack_codes(ci)
                 B, WS = symw.shape[0], symw.shape[1]
@@ -1069,6 +1354,39 @@ class PipelinedSweep:
                     ntiles = B * self._scores_dev[ri].shape[0] * self._nflush
                     maxt = min(ntiles, self._maxt_cap)
                     t0 = time.perf_counter()
+                    if kb:
+                        # Batched-pull flow: the fused dispatch appends this
+                        # chunk's header + record prefix to the device-side
+                        # accumulators; nothing crosses to the host until
+                        # the batch seals (two transfers per kb chunks).
+                        if not cur_batch:
+                            bcap = self.record_cap
+                            hb0, rb0 = self._alloc_batch_bufs(maxt, bcap)
+                            cur_batch[:] = [hb0, rb0,
+                                            jnp.zeros((), jnp.int32), [],
+                                            bcap]
+                        bcap = cur_batch[4]
+                        slot = len(cur_batch[3])
+                        (ostate, ocarry, cur_batch[0], cur_batch[1],
+                         cur_batch[2]) = self._dispatch_batched(
+                            symw, self._scores_dev[ri], istate, icarry,
+                            maxt, self._reset_dev[ri], bcap, cur_batch[0],
+                            cur_batch[1], cur_batch[2], slot)
+                        cur_batch[3].append(((symw, istate, icarry, maxt),
+                                             bcap, ri, lo, Lc))
+                        t1 = time.perf_counter()
+                        self.prof["dispatch"] += t1 - t0
+                        if len(cur_batch[3]) == kb:
+                            seal_batch()
+                        while len(pendb) >= 2:
+                            drain_batch()  # bound batches in flight
+                        self.prof["gate_wait"] += time.perf_counter() - t1
+                        istate = ostate
+                        col_carry[ri] = ocarry
+                        done += 1
+                        if progress is not None:
+                            progress(done)
+                        continue
                     # ONE fused dispatch runs the kernel and compacts its
                     # dirty tiles to records on device; the packed vector's
                     # D2H starts while the device sweeps the next chunk.
@@ -1107,6 +1425,10 @@ class PipelinedSweep:
                         progress(done)
                 prev_col_carry = col_carry
                 if checkpoint_cb is not None and ci + 1 < self.n_col:
+                    if cur_batch:
+                        seal_batch()  # flush the partial batch at the cut
+                    while pendb:
+                        drain_batch()
                     while pend:
                         drain_one()
                     while pend2:
@@ -1118,6 +1440,10 @@ class PipelinedSweep:
                     rows_s, pos_s = _concat_results(results, pool)
                     checkpoint_cb(ci + 1, carries, rows_s, pos_s)
             t_drain = time.perf_counter()
+            if cur_batch:
+                seal_batch()
+            while pendb:
+                drain_batch()
             while pend:
                 drain_one()
             while pend2:

@@ -628,3 +628,73 @@ def test_swar_pipelined_slice_pull_knob_is_exact(monkeypatch):
     assert_hits_equal(default.hits(), legacy.hits())
     assert_hits_equal(default.hits(), legacy_unfused.hits())
     assert_hits_equal(default.hits(), oracle_resolved(default))
+
+
+def test_swar_pipelined_pull_batch_knob_is_exact(monkeypatch):
+    """HAVAC_PULL_BATCH (batched device-side record accumulation, default 8)
+    must produce hits identical to legacy per-chunk pulls (0) at batch
+    sizes that seal mid-run (2) and never fill (64, one partial batch) —
+    exercising the dynamic_update_slice append, the host-side offset
+    reconstruction, partial-batch sealing, and buffer recycling."""
+    models, records = generate_planted_fixture(
+        seed=61, model_length=32, sequence_length=9000, num_models=2)
+    db = load_fasta_database(fasta_text(records), pad_multiple=3072,
+                             is_text=True)
+
+    def run():
+        e = Havac(p_value=P_VALUE, config=SWAR_CFG,
+                  backend="pallas_interpret", chunk_symbols=6144,
+                  chunk_rows=60)
+        e.load_phmm(models).load_sequence(db).run()
+        return e
+
+    default = run()
+    assert default.stats.chunk_geometry["pull_batch"] == 8
+    assert default.stats.num_chunks > 2  # partial batch at the end
+    monkeypatch.setenv("HAVAC_PULL_BATCH", "0")
+    legacy = run()
+    assert legacy.stats.chunk_geometry["pull_batch"] == 0
+    monkeypatch.setenv("HAVAC_PULL_BATCH", "2")
+    kb2 = run()
+    monkeypatch.setenv("HAVAC_PULL_BATCH", "64")
+    kb64 = run()
+    assert_hits_equal(default.hits(), legacy.hits())
+    assert_hits_equal(default.hits(), kb2.hits())
+    assert_hits_equal(default.hits(), kb64.hits())
+    assert_hits_equal(default.hits(), oracle_resolved(default))
+
+
+def test_swar_pipelined_pull_batch_overflow_redispatch(monkeypatch):
+    """A record cap far below the workload's density must converge via the
+    batched flow's overflow redispatch (truncated in-batch records are
+    regenerated by a single-chunk batch at the grown cap) without losing
+    or duplicating hits."""
+    import havac_tpu.engine.pipeline as pl
+
+    models, records = generate_planted_fixture(
+        seed=67, model_length=32, sequence_length=9000, num_models=2)
+    db = load_fasta_database(fasta_text(records), pad_multiple=3072,
+                             is_text=True)
+
+    def run():
+        e = Havac(p_value=P_VALUE, config=SWAR_CFG,
+                  backend="pallas_interpret", chunk_symbols=6144,
+                  chunk_rows=60)
+        e.load_phmm(models).load_sequence(db).run()
+        return e
+
+    want = run()  # converged-cap reference
+    monkeypatch.setattr(pl, "_RECORD_CAP_HINT", 0)
+    monkeypatch.setenv("HAVAC_PULL_BATCH", "4")
+    got = Havac(p_value=P_VALUE, config=SWAR_CFG,
+                backend="pallas_interpret", chunk_symbols=6144,
+                chunk_rows=60)
+    got.load_phmm(models).load_sequence(db)
+    sweep = got._build_pipelined_sweep()
+    assert sweep._pull_batch == 4
+    sweep.record_cap = 16  # far below density: every chunk overflows
+    got._warm_sweep = sweep
+    got.run()
+    assert sweep.overflow_retries > 0
+    assert sweep.record_cap > 16
+    assert_hits_equal(want.hits(), got.hits())

@@ -64,9 +64,23 @@ def build_inputs(maxt: int, WS: int, hits_per_tile: float, seed: int = 0):
 def make_stage(stage: str, cap: int):
     """A jitted ``fn(otiles, ocnts, ometa, count)`` for one truncated
     compaction variant. Each returns a small int32 vector (checksum-bearing
-    so no stage is dead code)."""
+    so no stage is dead code). ``pipeline`` times the PRODUCTION
+    ``_compact_tiles_core`` (the stages below are a frozen copy of the
+    round-3 formulation, kept so rewrites can be compared against it)."""
     import jax
     import jax.numpy as jnp
+
+    if stage == "pipeline":
+        from havac_tpu.engine.pipeline import _compact_tiles_core
+
+        @jax.jit
+        def run_prod(otiles, ocnts, ometa, count):
+            nrec, idx, words = _compact_tiles_core(otiles, ocnts, count,
+                                                   cap)
+            return (nrec[None].astype(jnp.int32) + idx[:1] + words[:1]
+                    + idx[cap // 2:cap // 2 + 1])
+
+        return run_prod
 
     @functools.partial(jax.jit, static_argnames=())
     def run(otiles, ocnts, ometa, count):
@@ -158,7 +172,7 @@ def time_stage(run, otiles, ocnts, ometa, count0, *, n_lo=1, n_hi=9,
     return (best(n_hi) - best(n_lo)) / (n_hi - n_lo)
 
 
-STAGES = ["counts", "search", "ingroup", "gather", "full"]
+STAGES = ["counts", "search", "ingroup", "gather", "full", "pipeline"]
 
 
 def main():

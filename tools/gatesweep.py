@@ -42,9 +42,13 @@ CONFIGS = {
     "b10l5": {"HAVAC_TILE_BUDGET_GB": "10", "HAVAC_LOOKAHEAD": "5"},
     "b12": {"HAVAC_TILE_BUDGET_GB": "12"},
     "nofuse": {"HAVAC_FUSE": "0"},
+    "pb0": {"HAVAC_PULL_BATCH": "0"},
+    "pb4": {"HAVAC_PULL_BATCH": "4"},
+    "pb16": {"HAVAC_PULL_BATCH": "16"},
+    "b10pb16": {"HAVAC_TILE_BUDGET_GB": "10", "HAVAC_PULL_BATCH": "16"},
 }
 _KNOB_VARS = ("HAVAC_TILE_BUDGET_GB", "HAVAC_LOOKAHEAD", "HAVAC_FUSE",
-              "HAVAC_DONATE", "HAVAC_SLICE_PULL")
+              "HAVAC_DONATE", "HAVAC_SLICE_PULL", "HAVAC_PULL_BATCH")
 
 
 def main() -> int:
