@@ -190,17 +190,17 @@ _RECORD_CAP_HINT = 0  # process-wide learned record cap (see PipelinedSweep)
 
 def _pull_bucket(k: int) -> int:
     """Bucketed slice-pull length: smallest power of two ≥ k (min 4096) up
-    to 2^18 ints, then the next MULTIPLE of 2^18 (1 MiB). Lengths are
+    to 2^18 ints, then the next MULTIPLE of 2^17 (512 KiB). Lengths are
     bucketed because every distinct slice shape is its own executable —
     i.e. a remote compile on this rig. Pure pow2 buckets overshoot ≤ 2×,
     which at the batched slab scale shipped ~3 MB of padding per ~5 MB
-    batch over a ~40 MB/s serialized tunnel (benchmarks/pullprobe_v5e.json)
-    — linear 1 MiB steps cap the overshoot at 1 MB while keeping the shape
-    count bounded (≤ 6 pow2 + slab-size/1 MiB shapes, prewarmed)."""
+    batch over a ~20 MB/s serialized tunnel (benchmarks/d2hprobe_v5e.json)
+    — linear 512 KiB steps cap the overshoot at 0.5 MB while keeping the
+    shape count bounded (≤ 6 pow2 + slab-size/512 KiB shapes, prewarmed)."""
     k = int(k)
     if k <= (1 << 18):
         return 1 << max(12, (k - 1).bit_length())
-    return round_up(k, 1 << 18)
+    return round_up(k, 1 << 17)
 
 
 def _compact_tiles_impl(otiles, ocnts, ometa, count, cap: int):
@@ -243,17 +243,21 @@ def _compact_tiles_impl(otiles, ocnts, ometa, count, cap: int):
 
 def _compact_tiles_split(otiles, ocnts, ometa, count, cap: int):
     """:func:`_compact_tiles_impl` with a split, slice-pullable layout:
-    ``header = [nrec, ometa(maxt)]`` (small, prefetched async per chunk) and
-    ``records`` = the (idx, word) pairs INTERLEAVED, so the valid data is the
-    contiguous prefix ``records[:2·nrec]`` — the host pulls a power-of-two
-    bucket of that prefix instead of the full cap-sized vector. At dense hit
-    regimes the cap converges on the densest chunk (it only grows), so
-    cap-sized pulls billed every chunk for the worst one; prefix pulls cost
-    ~8·nrec bytes + one tiny cached slice dispatch."""
+    ``header = [nrec, count, pad(6), ometa(maxt)]`` and ``records`` = the
+    (idx, word) pairs INTERLEAVED, so the valid data is the contiguous
+    prefix ``records[:2·nrec]`` — the host pulls a bucketed slice of that
+    prefix instead of the full cap-sized vector. The 8-int header prefix
+    carries the tile count so the host can detect the dense case (count ==
+    ntiles ⇒ ometa ≡ iota, slots were allocated in grid order) and skip
+    pulling the ~47 KB ometa at all — on this rig's ~20 MB/s serialized
+    tunnel (benchmarks/d2hprobe_v5e.json) that header traffic alone cost
+    ~0.4 s per 150k sweep."""
     import jax.numpy as jnp
 
     nrec, idx, words = _compact_tiles_core(otiles, ocnts, count, cap)
     header = jnp.concatenate([nrec[None].astype(jnp.int32),
+                              count[None].astype(jnp.int32),
+                              jnp.zeros(6, jnp.int32),
                               ometa.astype(jnp.int32)])
     rec = jnp.stack([idx.astype(jnp.int32), words.astype(jnp.int32)],
                     axis=1).reshape(-1)
@@ -622,13 +626,16 @@ class PipelinedSweep:
                             _os.environ.get("HAVAC_SLICE_PULL", "1") != "0")
         #   HAVAC_PULL_BATCH=k    — chunks whose records accumulate on
         #                           device before ONE header + ONE record
-        #                           pull (default 8; 0/1 = legacy per-chunk
-        #                           pulls). Every D2H transfer on this rig
+        #                           pull (default 16, the gatesweep winner:
+        #                           21.7 s warm at the 150k point vs 23.0
+        #                           at k=8; 0/1 = legacy per-chunk pulls).
+        #                           Every D2H transfer on this rig
         #                           serializes with the execution stream at
-        #                           ~25 ms + bytes/40 MB/s
-        #                           (benchmarks/pullprobe_v5e.json), so
-        #                           per-chunk pulls taxed dense sweeps ~50%.
-        self._pull_batch = int(_os.environ.get("HAVAC_PULL_BATCH", "8"))
+        #                           ~25-45 ms latency + bytes at ~20 MB/s
+        #                           (benchmarks/pullprobe_v5e.json,
+        #                           d2hprobe_v5e.json), so per-chunk pulls
+        #                           taxed dense sweeps ~50%.
+        self._pull_batch = int(_os.environ.get("HAVAC_PULL_BATCH", "16"))
         if not (self._fuse and self._donate and self._slice_pull):
             self._pull_batch = 0  # batched appends require the fused
             #                       donated slice-pull executable
@@ -776,7 +783,9 @@ class PipelinedSweep:
                         symw, self._scores_dev[0], istate, icarry, maxt,
                         self._reset_dev[0], cap, hb, rb,
                         jnp.zeros((), jnp.int32), 0)
-                    n0 = int(np.asarray(out[2][:1, :1])[0, 0])
+                    # Reads via the same (kb, 8) header-prefix slice the
+                    # batch drain uses, prewarming that executable too.
+                    n0 = int(np.asarray(out[2][:, :8])[0, 0])
                     hb2, rb2 = out[2], out[3]
                     # Prewarm the record-slab bucket slice shapes (each
                     # distinct slice length is one remote compile).
@@ -785,7 +794,7 @@ class PipelinedSweep:
                     while k < rb2.shape[0]:
                         slices.append(rb2[:k])
                         k = (k * 2 if k < (1 << 18)
-                             else k + (1 << 18))  # _pull_bucket's ladder
+                             else k + (1 << 17))  # _pull_bucket's ladder
                     for s in slices:
                         s.block_until_ready()
                     self._batch_free.append((cap, hb2, rb2))
@@ -809,7 +818,7 @@ class PipelinedSweep:
                 while k < 2 * self.record_cap:
                     slices.append(rec[:k])
                     k = (k * 2 if k < (1 << 18)
-                         else k + (1 << 18))  # _pull_bucket's ladder
+                         else k + (1 << 17))  # _pull_bucket's ladder
                 slices.append(rec[:2 * self.record_cap])
                 for s in slices:
                     s.block_until_ready()
@@ -941,7 +950,7 @@ class PipelinedSweep:
                 return hb, rb
         jnp = self.jnp
         kb = self._pull_batch
-        return (jnp.zeros((kb, 1 + maxt), jnp.int32),
+        return (jnp.zeros((kb, 8 + maxt), jnp.int32),
                 jnp.zeros((kb * 2 * cap,), jnp.int32))
 
     def _dispatch_batched(self, symw, scores_dev, istate, icarry, maxt: int,
@@ -1026,7 +1035,7 @@ class PipelinedSweep:
         words = np.ascontiguousarray(pairs[1::2])
         slots = idx // self._tile_words
         word_idx = idx % self._tile_words
-        ids = header[1:][slots]
+        ids = header[8:][slots]
         S = self._scores_dev[ri].shape[0]
         # nthreads=1: collector-pool worker (see _decode_packed).
         rows, pos = self._mod.decode_swar_flat(ids, word_idx, words, S,
@@ -1251,14 +1260,21 @@ class PipelinedSweep:
             cur_batch: List = []  # [hdrbuf, recbuf, roff, metas] or []
             pendb: List = []  # sealed batches awaiting their pull
 
+            iota_hdrs: Dict[int, np.ndarray] = {}  # maxt -> synthetic header
+
             def seal_batch():
                 hb, rb, _roff, metas, _bcap = cur_batch
                 del cur_batch[:]
+                # Only the 8-int header prefixes cross eagerly (256 B per
+                # batch); the maxt-wide ometa rows are pulled lazily and
+                # ONLY when some chunk was not fully dense (count < ntiles
+                # ⇒ ometa differs from iota).
+                hb8 = hb[:, :8]
                 try:
-                    hb.copy_to_host_async()
+                    hb8.copy_to_host_async()
                 except AttributeError:  # pragma: no cover - older jax
                     pass
-                pendb.append((hb, rb, metas))
+                pendb.append((hb, hb8, rb, metas))
 
             def redispatch_overflow(meta, n):
                 # Rare: this chunk overflowed the record cap inside the
@@ -1291,15 +1307,23 @@ class PipelinedSweep:
                                            n2, ri, lo, Lc))
 
             def drain_batch():
-                hb, rb, metas = pendb.pop(0)
+                hb, hb8, rb, metas = pendb.pop(0)
                 t0 = time.perf_counter()
-                _wait_ready(hb)
+                _wait_ready(hb8)
                 t1 = time.perf_counter()
-                headers = np.asarray(hb)
+                headers8 = np.asarray(hb8)
                 t2 = time.perf_counter()
                 self.prof["ready_wait"] += t1 - t0
                 self.prof["fetch"] += t2 - t1
-                ns = headers[:len(metas), 0].astype(np.int64)
+                ns = headers8[:len(metas), 0].astype(np.int64)
+                # Dense chunks (count == ntiles) allocated their slots in
+                # grid order, so ometa ≡ iota and the maxt-wide header rows
+                # need not cross the wire at all.
+                headers = None
+                if any(int(headers8[i, 1]) != meta[0][3]
+                       for i, meta in enumerate(metas)):
+                    _wait_ready(hb)
+                    headers = np.asarray(hb)
                 # Per-chunk record extents: the device advanced roff by the
                 # CLAMPED 2·min(n, cap) per chunk (cap may differ per chunk
                 # if it grew mid-batch), so offsets reconstruct exactly.
@@ -1322,14 +1346,24 @@ class PipelinedSweep:
                     self.prof["ready_wait"] += t4 - t3
                     self.prof["fetch"] += time.perf_counter() - t4
                 for i, meta in enumerate(metas):
-                    _inputs, ci_cap, ri, lo, Lc = meta
+                    inputs_i, ci_cap, ri, lo, Lc = meta
                     n = int(ns[i])
                     if n > ci_cap:
                         redispatch_overflow(meta, n)
+                        continue
+                    if headers is not None:
+                        hdr_i = headers[i]
                     else:
-                        futures.append(pool.submit(
-                            self._decode_split, headers[i],
-                            recs[offs[i]:offs[i + 1]], n, ri, lo, Lc))
+                        maxt_i = inputs_i[3]
+                        hdr_i = iota_hdrs.get(maxt_i)
+                        if hdr_i is None:
+                            hdr_i = np.concatenate(
+                                [np.zeros(8, np.int32),
+                                 np.arange(maxt_i, dtype=np.int32)])
+                            iota_hdrs[maxt_i] = hdr_i
+                    futures.append(pool.submit(
+                        self._decode_split, hdr_i,
+                        recs[offs[i]:offs[i + 1]], n, ri, lo, Lc))
                 self.prof["pull"] += time.perf_counter() - t0
                 # Recycle under the batch's cap tag (all chunks in a batch
                 # dispatch at the cap the batch was opened with).
@@ -1453,19 +1487,28 @@ class PipelinedSweep:
 
             t_tail = time.perf_counter()
             resolved = None
-            if self._resolve_fn is not None:
-                # Chunks were resolved in the collector pool as the device
-                # swept; the tail fans per-row-chunk group sorts (disjoint
-                # row ranges) across the pool, each writing its slice of
-                # the preallocated result columns. Raw (rows, pos) are NOT
-                # materialized at all — memcpy bandwidth is the tail's
-                # scarce resource on this VM — the engine concatenates and
-                # sorts the retained per-chunk parts lazily if raw_hits()
-                # is ever queried.
-                resolved = _concat_resolved(results, self.n_row, pool)
-                self.raw_parts = [(r, p) for _, r, p, _ in results]
-                rows = pos = None
-            else:
-                rows, pos = _merge_results_sorted(results, self.n_row, pool)
+            # The tail runs AFTER the sweep (no dispatch loop to contend
+            # with), so it gets its own wider pool: the group merges are
+            # GIL-releasing numpy/native memcpy work and this VM's thread
+            # pools reach ~8× there — the 4-worker collector pool left
+            # half the tail's parallelism on the table (measured ~2.6 s
+            # at the 150k point for ~350 MB of column moves).
+            with ThreadPoolExecutor(max_workers=8) as tail_pool:
+                if self._resolve_fn is not None:
+                    # Chunks were resolved in the collector pool as the
+                    # device swept; the tail fans per-row-chunk group sorts
+                    # (disjoint row ranges) across the pool, each writing
+                    # its slice of the preallocated result columns. Raw
+                    # (rows, pos) are NOT materialized at all — memcpy
+                    # bandwidth is the tail's scarce resource on this VM —
+                    # the engine concatenates and sorts the retained
+                    # per-chunk parts lazily if raw_hits() is ever queried.
+                    resolved = _concat_resolved(results, self.n_row,
+                                                tail_pool)
+                    self.raw_parts = [(r, p) for _, r, p, _ in results]
+                    rows = pos = None
+                else:
+                    rows, pos = _merge_results_sorted(results, self.n_row,
+                                                      tail_pool)
             self.prof["tail_sort"] = time.perf_counter() - t_tail
         return rows, pos, resolved, time.perf_counter() - t_start

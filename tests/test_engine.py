@@ -649,7 +649,7 @@ def test_swar_pipelined_pull_batch_knob_is_exact(monkeypatch):
         return e
 
     default = run()
-    assert default.stats.chunk_geometry["pull_batch"] == 8
+    assert default.stats.chunk_geometry["pull_batch"] == 16
     assert default.stats.num_chunks > 2  # partial batch at the end
     monkeypatch.setenv("HAVAC_PULL_BATCH", "0")
     legacy = run()
@@ -698,3 +698,20 @@ def test_swar_pipelined_pull_batch_overflow_redispatch(monkeypatch):
     assert sweep.overflow_retries > 0
     assert sweep.record_cap > 16
     assert_hits_equal(want.hits(), got.hits())
+
+
+def test_swar_pipelined_dense_iota_header_path():
+    """A hit-saturated workload (permissive p-value) drives chunks into the
+    batched drain's dense fast path (count == ntiles: slots in grid order,
+    ometa reconstructed as iota host-side and never pulled) — hits must
+    still match the oracle exactly. Mixed dense/sparse chunks also cover
+    the full-header fallback in the same run."""
+    models, records = generate_planted_fixture(
+        seed=71, model_length=32, sequence_length=6000, num_models=2)
+    db = load_fasta_database(fasta_text(records), pad_multiple=3072,
+                             is_text=True)
+    e = Havac(p_value=0.5, config=SWAR_CFG, backend="pallas_interpret",
+              chunk_symbols=6144, chunk_rows=60)
+    e.load_phmm(models).load_sequence(db).run()
+    assert e.stats.num_raw_hits > 1000  # saturated regime
+    assert_hits_equal(e.hits(), oracle_resolved(e))
