@@ -112,6 +112,13 @@ class Havac:
         engine.load_sequence("db.fasta")
         engine.run()                      # or run_async(); wait()
         hits = engine.hits()              # ResolvedHits columns
+
+    Single-chip runs route to the pipelined path (`engine/pipeline.py`);
+    passing ``mesh=`` selects the wavefront mesh paths. The default is a
+    measurement, not a guess: raced on the same dense 150k workload the
+    pipelined path wins ~10× on this rig (warm 20.8 s vs 201.7 s mesh-step —
+    the mesh path pulls full bitmaps and dispatches per step, both taxed by
+    the tunnel; `benchmarks/race_paths_v5e.json`, tools/race_paths.py).
     """
 
     def __init__(

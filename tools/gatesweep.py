@@ -45,6 +45,9 @@ CONFIGS = {
     "pb0": {"HAVAC_PULL_BATCH": "0"},
     "pb4": {"HAVAC_PULL_BATCH": "4"},
     "pb16": {"HAVAC_PULL_BATCH": "16"},
+    "pb24": {"HAVAC_PULL_BATCH": "24"},
+    "pb32": {"HAVAC_PULL_BATCH": "32"},
+    "pb32l5": {"HAVAC_PULL_BATCH": "32", "HAVAC_LOOKAHEAD": "5"},
     "b10pb16": {"HAVAC_TILE_BUDGET_GB": "10", "HAVAC_PULL_BATCH": "16"},
 }
 _KNOB_VARS = ("HAVAC_TILE_BUDGET_GB", "HAVAC_LOOKAHEAD", "HAVAC_FUSE",
