@@ -626,16 +626,22 @@ class PipelinedSweep:
                             _os.environ.get("HAVAC_SLICE_PULL", "1") != "0")
         #   HAVAC_PULL_BATCH=k    — chunks whose records accumulate on
         #                           device before ONE header + ONE record
-        #                           pull (default 16, the gatesweep winner:
-        #                           21.7 s warm at the 150k point vs 23.0
-        #                           at k=8; 0/1 = legacy per-chunk pulls).
+        #                           pull (0/1 = legacy per-chunk pulls).
         #                           Every D2H transfer on this rig
         #                           serializes with the execution stream at
         #                           ~25-45 ms latency + bytes at ~20 MB/s
         #                           (benchmarks/pullprobe_v5e.json,
         #                           d2hprobe_v5e.json), so per-chunk pulls
-        #                           taxed dense sweeps ~50%.
-        self._pull_batch = int(_os.environ.get("HAVAC_PULL_BATCH", "16"))
+        #                           taxed dense sweeps ~50%. Unset = AUTO:
+        #                           sized from the chunk count below (the
+        #                           interleaved gatesweep A/Bs measured 16
+        #                           best at 171 chunks, 24 at 56 chunks —
+        #                           fewer serialized stalls — while a batch
+        #                           spanning most of the sweep regresses:
+        #                           everything piles into the drain tail,
+        #                           gatesweep50k pb32).
+        _pb_env = _os.environ.get("HAVAC_PULL_BATCH")
+        self._pull_batch = -1 if _pb_env is None else int(_pb_env)
         if not (self._fuse and self._donate and self._slice_pull):
             self._pull_batch = 0  # batched appends require the fused
             #                       donated slice-pull executable
@@ -704,6 +710,9 @@ class PipelinedSweep:
         chunk_blocks = min(max(1, chunk_symbols // self.W), blocks_cap)
         self.chunk = chunk_blocks * self.W
         self.n_col = max(1, -(-self.L // self.chunk))
+        if self._pull_batch < 0:  # AUTO: size from the chunk count
+            n_chunks = self.n_col * self.n_row
+            self._pull_batch = 16 if n_chunks > 96 else 24
 
         # Stage the whole packed database in HBM once (one H2D) and slice
         # per column chunk on device — per-chunk host uploads would bottleneck

@@ -649,7 +649,11 @@ def test_swar_pipelined_pull_batch_knob_is_exact(monkeypatch):
         return e
 
     default = run()
-    assert default.stats.chunk_geometry["pull_batch"] == 16
+    # AUTO pull batch: 24 at small chunk counts, 16 above 96 chunks
+    # (interleaved gatesweep A/Bs; see PipelinedSweep.__init__).
+    geom = default.stats.chunk_geometry
+    n_chunks = geom["n_col"] * geom["n_row"]
+    assert geom["pull_batch"] == (16 if n_chunks > 96 else 24)
     assert default.stats.num_chunks > 2  # partial batch at the end
     monkeypatch.setenv("HAVAC_PULL_BATCH", "0")
     legacy = run()

@@ -44,6 +44,7 @@ CONFIGS = {
     "nofuse": {"HAVAC_FUSE": "0"},
     "pb0": {"HAVAC_PULL_BATCH": "0"},
     "pb4": {"HAVAC_PULL_BATCH": "4"},
+    "pb8": {"HAVAC_PULL_BATCH": "8"},
     "pb16": {"HAVAC_PULL_BATCH": "16"},
     "pb24": {"HAVAC_PULL_BATCH": "24"},
     "pb32": {"HAVAC_PULL_BATCH": "32"},
@@ -66,6 +67,9 @@ def main() -> int:
     ap.add_argument("--configs", nargs="+", default=["default", "b8", "b10",
                                                      "b10l5", "l5"])
     ap.add_argument("--json", default=None)
+    ap.add_argument("--interleave", action="store_true",
+                    help="round-robin configs per iteration (tunnel-drift-"
+                         "robust A/B) instead of finishing each config")
     args = ap.parse_args()
 
     from havac_tpu.utils.backend import bounded_backend_init
@@ -85,37 +89,52 @@ def main() -> int:
                           seed=0)
 
     out = {"provenance": stamp, "positions": args.positions,
-           "composition": args.composition, "configs": {}}
-    for name in args.configs:
+           "composition": args.composition,
+           "interleave": args.interleave, "configs": {}}
+
+    def run_one(name: str, it: int):
         knobs = CONFIGS[name]
         for var in _KNOB_VARS:
             os.environ.pop(var, None)
         os.environ.update(knobs)
-        runs = []
+        engine = Havac(p_value=args.pvalue)
+        engine.load_phmm(models)
+        engine.load_sequence(db)
+        t0 = time.perf_counter()
+        engine.run()
+        hits = engine.hits()
+        elapsed = time.perf_counter() - t0
+        row = {"iter": it, "seconds": round(elapsed, 3),
+               "sweep_seconds": round(engine.stats.sweep_seconds, 3),
+               "gcups_e2e": round(engine.stats.cells / elapsed / 1e9, 1),
+               "num_hits": len(hits),
+               "native_active": engine.stats.native_active,
+               "overflow_retries": engine.stats.overflow_retries,
+               "chunk_geometry": engine.stats.chunk_geometry}
+        if engine.stats.pipeline_prof:
+            row["phases"] = {k: round(v, 3) for k, v
+                             in engine.stats.pipeline_prof.items()}
+        print(json.dumps({"config": name, **row}), flush=True)
+        return row
+
+    all_runs = {name: [] for name in args.configs}
+    if args.interleave:
+        # Round-robin the configs so a drifting tunnel (the rig's warm
+        # 150k pb16 measured 21.7 s one hour and 36-51 s the next, same
+        # commit) biases every config equally instead of whichever ran
+        # last. iter 0 of each config still pays its compile.
         for it in range(1 + args.warm):
-            engine = Havac(p_value=args.pvalue)
-            engine.load_phmm(models)
-            engine.load_sequence(db)
-            t0 = time.perf_counter()
-            engine.run()
-            hits = engine.hits()
-            elapsed = time.perf_counter() - t0
-            row = {"iter": it, "seconds": round(elapsed, 3),
-                   "sweep_seconds": round(engine.stats.sweep_seconds, 3),
-                   "gcups_e2e": round(engine.stats.cells / elapsed / 1e9, 1),
-                   "num_hits": len(hits),
-                   "native_active": engine.stats.native_active,
-                   "overflow_retries": engine.stats.overflow_retries,
-                   "chunk_geometry": engine.stats.chunk_geometry}
-            if engine.stats.pipeline_prof:
-                row["phases"] = {k: round(v, 3) for k, v
-                                 in engine.stats.pipeline_prof.items()}
-            runs.append(row)
-            print(json.dumps({"config": name, **row}), flush=True)
-            del engine
+            for name in args.configs:
+                all_runs[name].append(run_one(name, it))
+    else:
+        for name in args.configs:
+            for it in range(1 + args.warm):
+                all_runs[name].append(run_one(name, it))
+    for name in args.configs:
+        runs = all_runs[name]
         warm = sorted(r["seconds"] for r in runs[1:])
         out["configs"][name] = {
-            "knobs": knobs, "runs": runs,
+            "knobs": CONFIGS[name], "runs": runs,
             "warm_min_s": warm[0], "warm_median_s": warm[len(warm) // 2]}
         print(json.dumps({"config": name, "warm_min_s": warm[0],
                           "warm_median_s": warm[len(warm) // 2]}), flush=True)
