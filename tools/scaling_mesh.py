@@ -6,19 +6,22 @@ row chunks executes T = S + D − 1 steps, every device computing at every
 step (SPMD), so useful work is S·D of T·D step-slots and predicted
 efficiency is S/(S+D−1).
 
-This tool validates that model IN SHAPE on the 8-virtual-device CPU mesh
-(`--xla_force_host_platform_device_count`). Virtual devices share the host's
-cores, so per-device speedup is not measurable — but total compute is
-conserved: with the workload fixed, wall(D) should grow exactly by the fill
-factor T(D)/S (the padded wavefront steps are real compute on a shared
-host). Measured wall(D)/wall(1) vs predicted T(D)/S is therefore a genuine
-measurement of the model's step accounting, not a tautology: it would catch
-a wavefront that dispatches more (or fewer) steps than the model says, a
-seam exchange that serializes steps, or per-step overhead large enough to
-break the scaling story.
+This tool validates that model's step accounting as a BOUND on the
+8-virtual-device CPU mesh (`--xla_force_host_platform_device_count`).
+Virtual devices share the host's compute, so wall(D)/wall(1) must land
+between two structural envelopes: T(D)/S (fully serialized host — every
+padded step is real compute) and (S+D-1)/(S·D) (devices perfectly
+parallel). Landing INSIDE the envelope is the measurement: a wavefront
+that dispatched more steps than T = S+D-1, or a seam exchange that
+serialized the step pipeline, would push the ratio ABOVE the fill bound
+T(D)/S. (This VM advertises one core but gives thread pools ~8×, so the
+measured ratio sits between the envelopes rather than on the serialized
+bound; absolute per-chip GCUPS scaling remains hardware-pending — see
+BENCHMARKS.md.)
 
-The run also asserts bit-exactness of every D against D=1 (the pytest suite
-pins exactness vs the scalar oracle; here it is free).
+The run also asserts bit-exactness of every D against D=1 on a workload
+with real hits (the pytest suite pins exactness vs the scalar oracle;
+here it is free).
 
 Usage:
   python tools/scaling_mesh.py --json benchmarks/scaling_cpu_mesh.json
@@ -69,7 +72,10 @@ def main() -> int:
     rng = np.random.default_rng(11)
     L, P, R = args.seq_len, args.positions, args.rows_per_step
     symbols = rng.integers(0, 4, size=L).astype(np.uint8)
-    scores = rng.integers(-40, 12, size=(P, 4)).astype(np.int8)
+    # Hot enough that diagonal chains actually cross the 256 threshold —
+    # the D-vs-D=1 exactness assertion must compare real hit sets, not
+    # empty arrays (integers(-40, 12) produced zero hits at this length).
+    scores = rng.integers(-11, 11, size=(P, 4)).astype(np.int8)
     S = P // R  # one rows_per_call covers the whole score stream
 
     out = {"provenance": provenance(), "seq_len": L, "positions": P,
