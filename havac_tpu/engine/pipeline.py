@@ -185,7 +185,16 @@ def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
 
 
 _FUSED_CACHE: Dict = {}
-_RECORD_CAP_HINT = 0  # process-wide learned record cap (see PipelinedSweep)
+# Process-wide learned record caps, keyed by chunk geometry (rchunk,
+# chunk_symbols). A single global max let one sweep's density poison every
+# later sweep in the process: the r4 runtime table's 10k point (6 fat
+# chunks, ~180k records each) taught cap=270336, and the 150k sweep then
+# ran ALL 171 of its ~62k-record chunks through a compaction sized 4x too
+# big (compaction cost scales ~linearly with cap — ~+5 ms/chunk, ~0.9 s of
+# pure overhead at the 150k point). Chunks of the same geometry see the
+# same per-chunk cell count, so density learned under one key transfers;
+# different geometries converge independently via the warmup loop.
+_RECORD_CAP_HINTS: Dict[Tuple[int, int], int] = {}
 
 
 def _pull_bucket(k: int) -> int:
@@ -562,12 +571,14 @@ class PipelinedSweep:
         self.W = config.block_width
         self.K = config.rows_per_strip
         self.overflow_retries = 0
-        # Hit records pulled per chunk: adaptive, and seeded process-wide —
-        # once any sweep converges on a workload's density, later sweeps
-        # (fresh engines included) start at the learned cap and skip the
-        # overflow re-dispatch plus its one-off recompile at the grown cap.
-        global _RECORD_CAP_HINT
-        self.record_cap = max(1 << 14, _RECORD_CAP_HINT)
+        # Hit records pulled per chunk: adaptive, and seeded per GEOMETRY —
+        # once any sweep converges on a workload's density, later sweeps of
+        # the same chunk shape (fresh engines included) start at the learned
+        # cap and skip the overflow re-dispatch plus its one-off recompile.
+        # (Re-seeded from _RECORD_CAP_HINTS once the geometry is derived
+        # below; a lone global hint let small-chunk-count sweeps oversize
+        # every later sweep's compaction — see the _RECORD_CAP_HINTS note.)
+        self.record_cap = 1 << 14
         # Per-phase wall-clock attribution (seconds), filled by run():
         #   dispatch    — enqueueing kernel+compaction (async, host side)
         #   gate_wait   — main thread in the lookahead gate (≈ pull + any
@@ -713,6 +724,12 @@ class PipelinedSweep:
         if self._pull_batch < 0:  # AUTO: size from the chunk count
             n_chunks = self.n_col * self.n_row
             self._pull_batch = 16 if n_chunks > 96 else 24
+        # Geometry is now fixed: adopt the cap another sweep of this chunk
+        # shape already converged (per-chunk record density scales with the
+        # chunk's cell count, so hints only transfer within a geometry).
+        self._cap_key = (self.rchunk, self.chunk)
+        self.record_cap = max(self.record_cap,
+                              _RECORD_CAP_HINTS.get(self._cap_key, 0))
 
         # Stage the whole packed database in HBM once (one H2D) and slice
         # per column chunk on device — per-chunk host uploads would bottleneck
@@ -784,7 +801,6 @@ class PipelinedSweep:
                 # dispatch sweeps real symbols/scores), so the first timed
                 # run neither recompiles nor pays the overflow-redispatch
                 # storm a too-small cap causes across a whole batch.
-                global _RECORD_CAP_HINT
                 for _ in range(3):
                     cap = self.record_cap
                     hb, rb = self._alloc_batch_bufs(maxt, cap)
@@ -810,8 +826,9 @@ class PipelinedSweep:
                     if n0 <= cap:
                         break
                     self.record_cap = round_up(n0 + n0 // 2, 4096)
-                    _RECORD_CAP_HINT = max(_RECORD_CAP_HINT,
-                                           self.record_cap)
+                    _RECORD_CAP_HINTS[self._cap_key] = max(
+                        _RECORD_CAP_HINTS.get(self._cap_key, 0),
+                        self.record_cap)
                 return
             out = self._dispatch_fused(symw, self._scores_dev[0], istate,
                                        icarry, maxt,
@@ -1163,11 +1180,11 @@ class PipelinedSweep:
                 # compute scales ~linearly with cap (17.3 ms at cap 110k
                 # vs 4.2 ms at 25k, fusebench/compactbench), so the old
                 # rule's 2× overshoot billed every subsequent chunk.
-                global _RECORD_CAP_HINT
                 self.record_cap = max(
                     self.record_cap,
                     round_up(max(n + n // 2, cap + 1024), 4096))
-                _RECORD_CAP_HINT = max(_RECORD_CAP_HINT, self.record_cap)
+                _RECORD_CAP_HINTS[self._cap_key] = max(
+                    _RECORD_CAP_HINTS.get(self._cap_key, 0), self.record_cap)
                 self.overflow_retries += 1
                 return self.record_cap
 

@@ -507,6 +507,47 @@ def test_warmup_invalidated_by_reload():
     assert_hits_equal(eng.hits(), oracle_resolved(eng))
 
 
+def test_record_cap_hint_is_per_geometry():
+    """Learned record caps must not leak across chunk geometries: a dense
+    small-chunk-count sweep (few fat chunks, huge per-chunk record counts)
+    taught the old GLOBAL hint a cap that oversized every later sweep's
+    compaction ~4x (the r4 150k table ran at cap 270336 vs ~62k actual
+    records/chunk; compaction scales ~linearly with cap). Hints are now
+    keyed by (rchunk, chunk) and transfer only within a geometry."""
+    from havac_tpu.engine import pipeline as pl_mod
+
+    models, records = generate_planted_fixture(
+        seed=29, model_length=40, sequence_length=6000, num_models=2)
+    db = load_fasta_database(fasta_text(records), pad_multiple=CFG.block_width,
+                             is_text=True)
+    hint0 = dict(pl_mod._RECORD_CAP_HINTS)
+    try:
+        pl_mod._RECORD_CAP_HINTS.clear()
+        eng_a = Havac(p_value=P_VALUE, config=CFG,
+                      backend="pallas_interpret", chunk_symbols=2048)
+        eng_a.load_phmm(models).load_sequence(db)
+        sweep_a = eng_a._build_pipelined_sweep()
+        # Another sweep of a DIFFERENT geometry must not inherit a huge cap
+        # learned under sweep_a's key.
+        pl_mod._RECORD_CAP_HINTS[sweep_a._cap_key] = 1 << 20
+        eng_b = Havac(p_value=P_VALUE, config=CFG,
+                      backend="pallas_interpret", chunk_symbols=4096)
+        eng_b.load_phmm(models).load_sequence(db)
+        sweep_b = eng_b._build_pipelined_sweep()
+        assert sweep_b._cap_key != sweep_a._cap_key
+        assert sweep_b.record_cap < (1 << 20)
+        # ... while a SAME-geometry sweep starts at the learned cap.
+        eng_c = Havac(p_value=P_VALUE, config=CFG,
+                      backend="pallas_interpret", chunk_symbols=2048)
+        eng_c.load_phmm(models).load_sequence(db)
+        sweep_c = eng_c._build_pipelined_sweep()
+        assert sweep_c._cap_key == sweep_a._cap_key
+        assert sweep_c.record_cap == (1 << 20)
+    finally:
+        pl_mod._RECORD_CAP_HINTS.clear()
+        pl_mod._RECORD_CAP_HINTS.update(hint0)
+
+
 def test_record_cap_overflow_retry_pipelined():
     """A chunk whose hit records exceed the adaptive record cap must be
     re-dispatched at a grown cap (drain_one's retry loop — which since the
@@ -521,9 +562,9 @@ def test_record_cap_overflow_retry_pipelined():
     engine = Havac(p_value=P_VALUE, config=CFG, backend="pallas_interpret",
                    chunk_symbols=2048)
     engine.load_phmm(models).load_sequence(db)
-    hint0 = pl_mod._RECORD_CAP_HINT
+    hint0 = dict(pl_mod._RECORD_CAP_HINTS)
     try:
-        pl_mod._RECORD_CAP_HINT = 0
+        pl_mod._RECORD_CAP_HINTS.clear()
         sweep = engine._build_pipelined_sweep()
         sweep.record_cap = 8  # force the overflow retry on real chunks
         engine._warm_sweep = sweep
@@ -532,7 +573,8 @@ def test_record_cap_overflow_retry_pipelined():
         assert sweep.record_cap > 8
         assert_hits_equal(engine.hits(), oracle_resolved(engine))
     finally:
-        pl_mod._RECORD_CAP_HINT = hint0
+        pl_mod._RECORD_CAP_HINTS.clear()
+        pl_mod._RECORD_CAP_HINTS.update(hint0)
 
 
 SWAR_CFG = SsvKernelConfig.swar(block_width=3072, interpret=True)
@@ -688,7 +730,7 @@ def test_swar_pipelined_pull_batch_overflow_redispatch(monkeypatch):
         return e
 
     want = run()  # converged-cap reference
-    monkeypatch.setattr(pl, "_RECORD_CAP_HINT", 0)
+    monkeypatch.setattr(pl, "_RECORD_CAP_HINTS", {})
     monkeypatch.setenv("HAVAC_PULL_BATCH", "4")
     got = Havac(p_value=P_VALUE, config=SWAR_CFG,
                 backend="pallas_interpret", chunk_symbols=6144,
