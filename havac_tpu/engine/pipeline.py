@@ -55,7 +55,7 @@ _COMPACT_SPLIT_JIT = None
 def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
                       maxt: int, cap: int, interpret: bool, isolate: bool,
                       split: bool = False, donate: bool = True,
-                      batch: int = 0):
+                      batch: int = 0, drain_bands: Optional[int] = None):
     """Module-level cache of the fused kernel+compaction executable.
 
     MUST be global, not per-sweep: the engine builds a fresh PipelinedSweep
@@ -65,7 +65,7 @@ def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
     an instance-level cache put ~10 s of recompilation inside every timed
     run (the round-2 design's module-level kernel jit had no such cost)."""
     key = (packing, block_words, rows_per_strip, maxt, cap, interpret,
-           isolate, split, donate, batch)
+           isolate, split, donate, batch, drain_bands)
     fn = _FUSED_CACHE.get(key)
     if fn is not None:
         return fn
@@ -95,7 +95,8 @@ def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
             out = mod._ssv_swar_jit(
                 symw, scores_dev, istate, icarry, reset_dev, tiles_buf,
                 cnts_buf, block_words=block_words, max_hit_tiles=maxt,
-                interpret=interpret, isolate=isolate)
+                interpret=interpret, isolate=isolate,
+                drain_bands=drain_bands)
             header, rec = _compact_tiles_split(out[4], out[5], out[2],
                                                out[3][0], cap=cap)
             hdrbuf = jax.lax.dynamic_update_slice(hdrbuf, header[None],
@@ -124,7 +125,8 @@ def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
                 out = mod._ssv_swar_jit(
                     symw, scores_dev, istate, icarry, reset_dev,
                     block_words=block_words, max_hit_tiles=maxt,
-                    interpret=interpret, isolate=isolate)
+                    interpret=interpret, isolate=isolate,
+                    drain_bands=drain_bands)
                 if split:
                     header, rec = _compact_tiles_split(
                         out[4], out[5], out[2], out[3][0], cap=cap)
@@ -148,7 +150,8 @@ def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
             out = mod._ssv_swar_jit(
                 symw, scores_dev, istate, icarry, reset_dev, tiles_buf,
                 cnts_buf, block_words=block_words, max_hit_tiles=maxt,
-                interpret=interpret, isolate=isolate)
+                interpret=interpret, isolate=isolate,
+                drain_bands=drain_bands)
             if split:
                 header, rec = _compact_tiles_split(
                     out[4], out[5], out[2], out[3][0], cap=cap)
@@ -660,6 +663,19 @@ class PipelinedSweep:
             self._pull_batch = 0
         self._batch_free: List = []  # recycled (hdrbuf, recbuf) sets
         self._batch_bufs_cap = 0  # cap the free sets were sized for
+        #   HAVAC_DRAIN_BANDS=n   — dirty-band granularity of the kernel's
+        #                           tile drain (1 = legacy full-tile DMA per
+        #                           dirty flush). The engine's compaction
+        #                           indexes tiles through the count sidecar
+        #                           only, so skipped bands' stale rows are
+        #                           never read; at the dense 150k point the
+        #                           full-tile drain moved ~6 GB/chunk of
+        #                           zeros. Rounded down to a divisor of
+        #                           WS//8 per geometry (ssv_swar.
+        #                           _effective_drain_bands).
+        self._drain_bands = int(_os.environ.get("HAVAC_DRAIN_BANDS", "18"))
+        if self.cfg.packing != 3:
+            self._drain_bands = 1  # unpacked kernel: no banded drain
         _bgb = _os.environ.get("HAVAC_TILE_BUDGET_GB")
         if _bgb:
             self.tile_budget_bytes = int(float(_bgb) * (1 << 30))
@@ -892,7 +908,8 @@ class PipelinedSweep:
                 self.cfg.packing,
                 self.W3 if self.cfg.packing == 3 else self.W, self.K, maxt,
                 cap, bool(self.cfg.interpret), self._isolate,
-                split=self._slice_pull, donate=self._donate, batch=batch)
+                split=self._slice_pull, donate=self._donate, batch=batch,
+                drain_bands=self._drain_bands)
             self._fused[key] = fn
         return fn
 
@@ -950,7 +967,8 @@ class PipelinedSweep:
             o = self._mod._ssv_swar_jit(
                 symw, scores_dev, istate, icarry, reset_dev,
                 block_words=self.W3, max_hit_tiles=maxt,
-                interpret=self.cfg.interpret, isolate=self._isolate)
+                interpret=self.cfg.interpret, isolate=self._isolate,
+                drain_bands=self._drain_bands)
             if self._slice_pull:
                 header, rec = self._compact_split(o[4], o[5], o[2], o[3][0],
                                                   cap=cap)

@@ -89,6 +89,7 @@ def _ssv_swar_kernel(
     K: int,
     WS: int,
     isolate: bool,
+    drain_bands: int = 1,
     debug_rows: bool = False,
 ):
     if isolate:
@@ -97,17 +98,18 @@ def _ssv_swar_kernel(
     if debug_rows:
         (ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref,
          ocnts_ref, orows_ref, state_ref, bits_ref, carry_ref, ind_refs_1,
-         ind_refs_2, ind_refs_3, cnt_ref, cntv_ref, dma_sem) = refs
+         ind_refs_2, ind_refs_3, cnt_ref, cntv_ref, dma_sem, nb_ref) = refs
     else:
         (ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref,
          ocnts_ref, state_ref, bits_ref, carry_ref, ind_refs_1, ind_refs_2,
-         ind_refs_3, cnt_ref, cntv_ref, dma_sem) = refs
+         ind_refs_3, cnt_ref, cntv_ref, dma_sem, nb_ref) = refs
     _ssv_swar_body(scores_smem, symw_ref, istate_ref, icarry_ref,
                    ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref,
                    ocnts_ref, state_ref, bits_ref, carry_ref, ind_refs_1,
                    ind_refs_2, ind_refs_3, cnt_ref, cntv_ref, dma_sem,
-                   reset_smem if isolate else None, K=K, WS=WS,
-                   isolate=isolate, orows_ref=orows_ref)
+                   nb_ref, reset_smem if isolate else None, K=K, WS=WS,
+                   isolate=isolate, drain_bands=drain_bands,
+                   orows_ref=orows_ref)
 
 
 def _ssv_swar_body(
@@ -128,12 +130,14 @@ def _ssv_swar_body(
     ind_refs_1, ind_refs_2, ind_refs_3,  # (WS,128) int32 VMEM indicator planes
     cnt_ref,  # (1,) int32 SMEM
     cntv_ref,  # (2, 8, 128) int32 VMEM — count-block staging for the DMA
-    dma_sem,  # (2, 2) DMA semaphores: [staging slot, tile|sidecar]
+    dma_sem,  # (2, 2) DMA semaphores: [staging slot, bands|sidecar]
+    nb_ref,  # (2,) int32 SMEM — dirty-band count per staging slot
     reset_smem,  # (ROWS,) int32 SMEM or None
     *,
     K: int,
     WS: int,
     isolate: bool,
+    drain_bands: int = 1,
     orows_ref=None,  # (1, K, WS, 128) VMEM debug output: packed state/row
 ):
     b = pl.program_id(0)
@@ -227,25 +231,45 @@ def _ssv_swar_body(
         if (k + 1) % ROWS_PER_FLUSH == 0:
             flush = k // ROWS_PER_FLUSH
             any_hit = jnp.any(bits != 0)
+            NB = drain_bands
+            PART = WS // NB  # multiple of 8 by _effective_drain_bands
 
             @pl.when(any_hit)
             def _drain(flush=flush, bits=bits):
                 # Double-buffered drain: staging slot d alternates per dirty
-                # flush; the tile + sidecar copies started here are waited
-                # only when slot d comes around again (two dirty flushes
-                # later), so at dense hit rates the DMAs overlap the next
-                # 10 rows of compute instead of serializing the hot loop
-                # (the analog of the reference's DATAFLOW hit-drain FIFOs,
+                # flush; the copies started here are waited only when slot d
+                # comes around again (two dirty flushes later), so at dense
+                # hit rates the DMAs overlap the next 10 rows of compute
+                # instead of serializing the hot loop (the analog of the
+                # reference's DATAFLOW hit-drain FIFOs,
                 # `device/HitReporting.cpp:58-148`).
+                #
+                # BANDED (round 4): the tile is split into NB row bands and
+                # only DIRTY bands are copied out. At the dense 150k point a
+                # flush has ~5 scattered hit words in a 516 KB tile, so the
+                # full-tile drain wrote ~6 GB/chunk of mostly-zero HBM
+                # traffic (~7.5 ms/chunk at v5e bandwidth) to carry ~0.5 MB
+                # of records. Skipped bands leave stale rows in the slot —
+                # harmless by construction: the count sidecar (always
+                # written, from this flush's real bits) is the only index
+                # into the tile buffer, and compaction gathers exactly the
+                # rows with nonzero counts, all of which belong to drained
+                # bands. nb_ref remembers how many band copies were started
+                # on each staging slot so the reuse path waits that many.
                 cnt = cnt_ref[0]
                 d = jax.lax.rem(cnt, 2)
                 slot = jnp.minimum(cnt, otiles_ref.shape[0] - 1)
 
                 @pl.when(cnt >= 2)
                 def _wait_prev():
-                    pltpu.make_async_copy(
-                        bits_ref.at[d], otiles_ref.at[slot],
-                        dma_sem.at[d, 0]).wait()
+                    def wb(_, c):
+                        pltpu.make_async_copy(
+                            bits_ref.at[d, 0:PART],
+                            otiles_ref.at[slot, 0:PART],
+                            dma_sem.at[d, 0]).wait()
+                        return c
+
+                    jax.lax.fori_loop(0, nb_ref[d], wb, 0)
                     pltpu.make_async_copy(
                         cntv_ref.at[d], ocnts_ref.at[slot],
                         dma_sem.at[d, 1]).wait()
@@ -266,8 +290,26 @@ def _ssv_swar_body(
                     cntv_ref[d, :, 0:C] = counts
                 else:
                     cntv_ref[d] = counts
-                pltpu.make_async_copy(bits_ref.at[d], otiles_ref.at[slot],
-                                      dma_sem.at[d, 0]).start()
+                if NB == 1:
+                    pltpu.make_async_copy(bits_ref.at[d],
+                                          otiles_ref.at[slot],
+                                          dma_sem.at[d, 0]).start()
+                    nb_ref[d] = 1
+                else:
+                    nb = jnp.int32(0)
+                    for band in range(NB):
+                        lo, hi = band * PART, (band + 1) * PART
+                        dirty = jnp.any(bits[lo:hi] != 0)
+
+                        @pl.when(dirty)
+                        def _copy_band(lo=lo, hi=hi):
+                            pltpu.make_async_copy(
+                                bits_ref.at[d, lo:hi],
+                                otiles_ref.at[slot, lo:hi],
+                                dma_sem.at[d, 0]).start()
+
+                        nb = nb + dirty.astype(jnp.int32)
+                    nb_ref[d] = nb
                 pltpu.make_async_copy(cntv_ref.at[d], ocnts_ref.at[slot],
                                       dma_sem.at[d, 1]).start()
                 ometa_ref[slot] = (b * S + s) * nflush + flush
@@ -284,12 +326,19 @@ def _ssv_swar_body(
         # must be drained before the kernel exits.
         cnt = cnt_ref[0]
         maxt = otiles_ref.shape[0]
+        PART = WS // drain_bands
 
         def _wait_pair(c):
             d = jax.lax.rem(c, 2)
             slot = jnp.minimum(c, maxt - 1)
-            pltpu.make_async_copy(bits_ref.at[d], otiles_ref.at[slot],
-                                  dma_sem.at[d, 0]).wait()
+
+            def wb(_, carry):
+                pltpu.make_async_copy(bits_ref.at[d, 0:PART],
+                                      otiles_ref.at[slot, 0:PART],
+                                      dma_sem.at[d, 0]).wait()
+                return carry
+
+            jax.lax.fori_loop(0, nb_ref[d], wb, 0)
             pltpu.make_async_copy(cntv_ref.at[d], ocnts_ref.at[slot],
                                   dma_sem.at[d, 1]).wait()
 
@@ -321,10 +370,30 @@ def _ssv_swar_body(
         ocount_ref[0] = cnt_ref[0]
 
 
+def _effective_drain_bands(WS: int, requested: Optional[int]) -> int:
+    """Largest divisor of WS//8 that is <= the requested band count (so
+    every band is a tile-aligned (PART, 128) slice, PART a multiple of 8).
+
+    None = 1 (legacy full-tile drain). Banded drain leaves STALE rows in a
+    slot's skipped bands, so it is only safe for consumers that index the
+    tile buffer through the count sidecar (the engine's fused compaction);
+    consumers that scan whole tiles for nonzero words
+    (:func:`decode_swar_tiles`, the mesh paths' bitmap pulls) must keep the
+    full-tile drain. The pipelined engine opts in explicitly."""
+    if requested is None:
+        return 1
+    ws8 = WS // 8
+    want = max(1, min(int(requested), ws8))
+    for nb in range(want, 0, -1):
+        if ws8 % nb == 0:
+            return nb
+    return 1
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_words", "max_hit_tiles", "interpret", "isolate",
-                     "debug_rows"),
+                     "debug_rows", "drain_bands"),
 )
 def _ssv_swar_jit(
     symw_blocks,  # (B, WS, 128) int32 packed
@@ -340,6 +409,7 @@ def _ssv_swar_jit(
     interpret: bool,
     isolate: bool = False,
     debug_rows: bool = False,
+    drain_bands: Optional[int] = None,
 ):
     B, WS, _ = symw_blocks.shape
     S, K, _ = scores_strips.shape
@@ -352,8 +422,9 @@ def _ssv_swar_jit(
             "and at most 1024 (block_width <= 393216)")
 
     grid = (B, S)
+    nbands = _effective_drain_bands(WS, drain_bands)
     kernel = functools.partial(_ssv_swar_kernel, K=K, WS=WS, isolate=isolate,
-                               debug_rows=debug_rows)
+                               drain_bands=nbands, debug_rows=debug_rows)
     if tiles_buf is not None:
         # The aliased inputs append two refs after [reset]; the kernel body
         # never reads them (aliasing only supplies the buffers), so drop
@@ -432,7 +503,8 @@ def _ssv_swar_jit(
             pltpu.VMEM((WS, 128), jnp.int32),  # ind3
             pltpu.SMEM((1,), jnp.int32),  # tile count
             pltpu.VMEM((2, 8, 128), jnp.int32),  # count-block DMA staging
-            pltpu.SemaphoreType.DMA((2, 2)),  # per-slot (tile, sidecar) sems
+            pltpu.SemaphoreType.DMA((2, 2)),  # per-slot (bands, sidecar) sems
+            pltpu.SMEM((2,), jnp.int32),  # dirty-band count per slot
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),

@@ -598,6 +598,40 @@ def test_swar_pipelined_end_to_end_matches_oracle():
     assert_hits_equal(engine.hits(), want)
 
 
+def test_swar_banded_drain_is_exact(monkeypatch):
+    """HAVAC_DRAIN_BANDS>1 (round-4: the kernel DMAs only DIRTY row bands of
+    each hit tile, leaving stale rows in skipped bands that only the count
+    sidecar may index around) must produce hits identical to the legacy
+    full-tile drain and the oracle. Needs WS>=16 so the band count is >1
+    (block_width 6144 -> WS=16 -> 2 bands); covers both the per-chunk and
+    the batched-pull flows."""
+    models, records = generate_planted_fixture(
+        seed=47, model_length=40, sequence_length=15000, num_models=3)
+    db = load_fasta_database(fasta_text(records), pad_multiple=6144,
+                             is_text=True)
+    cfg = SsvKernelConfig.swar(block_width=6144, interpret=True)
+
+    def run(bands, pull_batch):
+        monkeypatch.setenv("HAVAC_DRAIN_BANDS", bands)
+        monkeypatch.setenv("HAVAC_PULL_BATCH", pull_batch)
+        e = Havac(p_value=P_VALUE, config=cfg, backend="pallas_interpret",
+                  chunk_symbols=12288, chunk_rows=60)
+        e.load_phmm(models).load_sequence(db)
+        sweep = e._build_pipelined_sweep()
+        assert sweep._drain_bands == int(bands)
+        e._warm_sweep = sweep
+        e.run()
+        return e
+
+    base = run("1", "0")
+    want = oracle_resolved(base)
+    assert len(want) > 0, "fixture must plant hits"
+    assert_hits_equal(base.hits(), want)
+    for pb in ("0", "4"):
+        banded = run("18", pb)
+        assert_hits_equal(banded.hits(), want)
+
+
 def test_swar_pipelined_unfused_knob_is_exact(monkeypatch):
     """HAVAC_FUSE=0 (two-dispatch round-2 flow, the fusebench A/B knob)
     must produce hits identical to the fused default."""

@@ -50,9 +50,14 @@ CONFIGS = {
     "pb32": {"HAVAC_PULL_BATCH": "32"},
     "pb32l5": {"HAVAC_PULL_BATCH": "32", "HAVAC_LOOKAHEAD": "5"},
     "b10pb16": {"HAVAC_TILE_BUDGET_GB": "10", "HAVAC_PULL_BATCH": "16"},
+    "bands1": {"HAVAC_DRAIN_BANDS": "1"},
+    "bands18": {"HAVAC_DRAIN_BANDS": "18"},
+    "bands42": {"HAVAC_DRAIN_BANDS": "42"},
+    "bands126": {"HAVAC_DRAIN_BANDS": "126"},
 }
 _KNOB_VARS = ("HAVAC_TILE_BUDGET_GB", "HAVAC_LOOKAHEAD", "HAVAC_FUSE",
-              "HAVAC_DONATE", "HAVAC_SLICE_PULL", "HAVAC_PULL_BATCH")
+              "HAVAC_DONATE", "HAVAC_SLICE_PULL", "HAVAC_PULL_BATCH",
+              "HAVAC_DRAIN_BANDS")
 
 
 def main() -> int:
