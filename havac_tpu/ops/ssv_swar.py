@@ -452,9 +452,15 @@ def _ssv_swar_jit(
     # enqueue time, so a lookahead-k pipeline holds k of them live in HBM.
     # Aliasing them to caller-owned buffers (donated by the engine's fused
     # jit and rethreaded dispatch-to-dispatch) keeps exactly one copy live.
-    # Stale contents are harmless: every live slot < ocount is fully
-    # DMA-written by this execution, and the host/compaction mask slots by
-    # the count.
+    # Stale contents are harmless ONLY under the sidecar-indexing contract:
+    # with drain_bands > 1 a live slot is PARTIALLY written (dirty bands
+    # only), so rethreaded buffers retain rows from previous chunks in the
+    # skipped bands. The count sidecar (always fully written per live slot,
+    # from this execution's real bits) is the sole valid index into the tile
+    # buffer — compaction gathers exactly the rows with nonzero counts, all
+    # of which belong to drained bands. Consumers that scan whole live slots
+    # (decode_swar_tiles, mesh bitmap pulls) require drain_bands=1; see
+    # _effective_drain_bands.
     io_aliases = {}
     if tiles_buf is not None:
         nin_base = len(inputs)

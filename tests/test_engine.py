@@ -632,6 +632,43 @@ def test_swar_banded_drain_is_exact(monkeypatch):
         assert_hits_equal(banded.hits(), want)
 
 
+def test_swar_banded_drain_many_bands_sparse(monkeypatch):
+    """Banded drain with MANY effective bands and sparse hits: block_width
+    36864 -> WS=96 -> ws8=12 -> up to 12 bands, planted hits sparse enough
+    that most bands of a dirty flush are SKIPPED — exercising the dynamic
+    nb_ref-driven DMA accounting (fori_loop over per-slot dirty-band counts,
+    several same-semaphore copies in flight) that the 2-band case above
+    never reaches. Hardware exactness record at engine scale: identical
+    num_hits 10,621,064 across bands 1/18/42 on the real chip
+    (benchmarks/gatesweep150k_bands_v5e.json)."""
+    models, records = generate_planted_fixture(
+        seed=61, model_length=40, sequence_length=80000, num_models=2,
+        num_plants_per_model=2)
+    db = load_fasta_database(fasta_text(records), pad_multiple=36864,
+                             is_text=True)
+    cfg = SsvKernelConfig.swar(block_width=36864, interpret=True)
+
+    def run(bands, pull_batch):
+        monkeypatch.setenv("HAVAC_DRAIN_BANDS", bands)
+        monkeypatch.setenv("HAVAC_PULL_BATCH", pull_batch)
+        e = Havac(p_value=P_VALUE, config=cfg, backend="pallas_interpret",
+                  chunk_symbols=36864, chunk_rows=60)
+        e.load_phmm(models).load_sequence(db)
+        sweep = e._build_pipelined_sweep()
+        assert sweep._drain_bands == int(bands)
+        e._warm_sweep = sweep
+        e.run()
+        return e
+
+    base = run("1", "0")
+    want = oracle_resolved(base)
+    assert len(want) > 0, "fixture must plant hits"
+    assert_hits_equal(base.hits(), want)
+    for bands, pb in (("12", "0"), ("12", "4"), ("5", "0")):
+        banded = run(bands, pb)
+        assert_hits_equal(banded.hits(), want)
+
+
 def test_swar_pipelined_unfused_knob_is_exact(monkeypatch):
     """HAVAC_FUSE=0 (two-dispatch round-2 flow, the fusebench A/B knob)
     must produce hits identical to the fused default."""
