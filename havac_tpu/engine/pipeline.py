@@ -55,7 +55,8 @@ _COMPACT_SPLIT_JIT = None
 def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
                       maxt: int, cap: int, interpret: bool, isolate: bool,
                       split: bool = False, donate: bool = True,
-                      batch: int = 0, drain_bands: Optional[int] = None):
+                      batch: int = 0, drain_bands: Optional[int] = None,
+                      pack16: bool = False):
     """Module-level cache of the fused kernel+compaction executable.
 
     MUST be global, not per-sweep: the engine builds a fresh PipelinedSweep
@@ -65,7 +66,7 @@ def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
     an instance-level cache put ~10 s of recompilation inside every timed
     run (the round-2 design's module-level kernel jit had no such cost)."""
     key = (packing, block_words, rows_per_strip, maxt, cap, interpret,
-           isolate, split, donate, batch, drain_bands)
+           isolate, split, donate, batch, drain_bands, pack16)
     fn = _FUSED_CACHE.get(key)
     if fn is not None:
         return fn
@@ -92,18 +93,35 @@ def _get_fused_global(packing: int, block_words: int, rows_per_strip: int,
 
         def fused_batch(symw, scores_dev, istate, icarry, reset_dev,
                         tiles_buf, cnts_buf, hdrbuf, recbuf, roff, slot):
+            import jax.numpy as jnp
+
             out = mod._ssv_swar_jit(
                 symw, scores_dev, istate, icarry, reset_dev, tiles_buf,
                 cnts_buf, block_words=block_words, max_hit_tiles=maxt,
                 interpret=interpret, isolate=isolate,
                 drain_bands=drain_bands)
+            if pack16:
+                # delta16 wire layout (HAVAC_REC_PACK, the default): three
+                # contiguous segments per chunk — words(n), packed
+                # deltas(ceil(n/2)), escapes(n_esc) — 6 B/record on the
+                # serialized ~20 MB/s tunnel instead of 8.
+                header, words, dpk, escv = _compact_tiles_packed16(
+                    out[4], out[5], out[2], out[3][0], cap=cap)
+                hdrbuf = jax.lax.dynamic_update_slice(hdrbuf, header[None],
+                                                      (slot, 0))
+                n = jnp.minimum(header[0], cap)
+                recbuf = jax.lax.dynamic_update_slice(recbuf, words, (roff,))
+                recbuf = jax.lax.dynamic_update_slice(recbuf, dpk,
+                                                      (roff + n,))
+                recbuf = jax.lax.dynamic_update_slice(
+                    recbuf, escv, (roff + n + (n + 1) // 2,))
+                roff = roff + _packed16_advance(n, cap, header[2])
+                return (out[0], out[1], hdrbuf, recbuf, roff, out[4], out[5])
             header, rec = _compact_tiles_split(out[4], out[5], out[2],
                                                out[3][0], cap=cap)
             hdrbuf = jax.lax.dynamic_update_slice(hdrbuf, header[None],
                                                   (slot, 0))
             recbuf = jax.lax.dynamic_update_slice(recbuf, rec, (roff,))
-            import jax.numpy as jnp
-
             roff = roff + 2 * jnp.minimum(header[0], cap)
             return (out[0], out[1], hdrbuf, recbuf, roff, out[4], out[5])
 
@@ -274,6 +292,87 @@ def _compact_tiles_split(otiles, ocnts, ometa, count, cap: int):
     rec = jnp.stack([idx.astype(jnp.int32), words.astype(jnp.int32)],
                     axis=1).reshape(-1)
     return header, rec
+
+
+def _packed16_esc_cap(maxt: int, tile_words: int, cap: int) -> int:
+    """Static escape-list capacity for the delta16 record layout: records
+    are emitted in ascending flat-index order over a range of
+    maxt · tile_words, so at most range // 0xFFFF gaps can exceed the
+    16-bit delta field — a structural bound independent of hit density."""
+    return int(min(cap, maxt * tile_words // 0xFFFF + 2))
+
+
+def _packed16_advance(n, cap: int, n_esc):
+    """Record-slab ints appended per chunk under the delta16 layout:
+    words(n) + packed deltas(ceil(n/2)) + escapes(n_esc)."""
+    return n + (n + 1) // 2 + n_esc
+
+
+def _compact_tiles_packed16(otiles, ocnts, ometa, count, cap: int):
+    """:func:`_compact_tiles_split` with the delta16 wire layout (round 5,
+    VERDICT r4 #3): the reference ships 64-bit coordinate records because
+    on-card DDR is free (`device/HitReporting.cpp:421-430`); on this rig
+    the serialized ~20 MB/s D2H tunnel makes record BYTES the scarcest
+    resource (the uniform→genomic 150k gap is pure record traffic). The
+    compaction emits records in ascending flat-index order, so the idx
+    stream delta-encodes: 16-bit deltas packed two per int32, gaps ≥ 0xFFFF
+    escape to a full-idx side list whose length is structurally ≤
+    range/0xFFFF (:func:`_packed16_esc_cap`). 8 B/record → 6 B + tiny.
+
+    Returns (header, words (cap,) int32, dpk (cap/2,) int32 packed deltas,
+    escv (cap_esc,) int32 absolute idx of escaped records, in rank order).
+    header = [nrec, count, n_esc, pad(5), ometa(maxt)]. The batched append
+    writes the three segments contiguously and advances the device offset
+    by :func:`_packed16_advance`; invalid records (r ≥ nrec) carry delta 0
+    and are never escaped, so they cost nothing on the wire."""
+    import jax.numpy as jnp
+
+    nrec, idx, words = _compact_tiles_core(otiles, ocnts, count, cap)
+    maxt = otiles.shape[0]
+    tile_words = otiles.shape[1] * otiles.shape[2]
+    cap_esc = _packed16_esc_cap(maxt, tile_words, cap)
+    r = jnp.arange(cap, dtype=jnp.int32)
+    ok = r < nrec
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), idx[:-1]])
+    delta = jnp.where(ok, idx - prev, 0)
+    esc = delta >= 0xFFFF
+    d16 = jnp.where(esc, 0xFFFF, delta)
+    if cap % 2:  # engine caps are 4096-multiples; tiny test caps may be odd
+        d16 = jnp.concatenate([d16, jnp.zeros(1, jnp.int32)])
+    dpk = d16[0::2] | (d16[1::2] << 16)  # two uint16 per int32, lo first
+    tri = jnp.triu(jnp.ones((128, 128), jnp.float32))
+    er = _cumsum_1d_exact(esc.astype(jnp.int32), tri)  # inclusive ranks
+    n_esc = er[cap - 1]
+    rank = jnp.where(esc, er - 1, cap_esc)
+    escv = jnp.zeros(cap_esc + 1, jnp.int32).at[
+        jnp.minimum(rank, cap_esc)].set(jnp.where(esc, idx, 0),
+                                        mode="drop")[:cap_esc]
+    header = jnp.concatenate([nrec[None].astype(jnp.int32),
+                              count[None].astype(jnp.int32),
+                              n_esc[None].astype(jnp.int32),
+                              jnp.zeros(5, jnp.int32),
+                              ometa.astype(jnp.int32)])
+    return header, words.astype(jnp.int32), dpk, escv
+
+
+def unpack_delta16(seg: np.ndarray, n: int, n_esc: int
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side inverse of :func:`_compact_tiles_packed16`'s record
+    segments: ``seg`` holds [words(n), packed deltas(ceil(n/2)),
+    escapes(n_esc)] int32; returns (idx int64 (n,), words int32 (n,))."""
+    words = seg[:n]
+    ndl = (n + 1) // 2
+    d16 = seg[n:n + ndl].view(np.uint16)[:n].astype(np.int64)
+    part = np.cumsum(np.where(d16 == 0xFFFF, 0, d16))
+    if n_esc:
+        escv = seg[n + ndl:n + ndl + n_esc].astype(np.int64)
+        pos = np.flatnonzero(d16 == 0xFFFF)
+        offs = escv - part[pos]
+        j = np.searchsorted(pos, np.arange(n), side="right") - 1
+        idx = part + np.where(j >= 0, offs[np.maximum(j, 0)], 0)
+    else:
+        idx = part
+    return idx, words
 
 
 def _cumsum_1d_exact(v, tri):
@@ -661,19 +760,36 @@ class PipelinedSweep:
             #                       donated slice-pull executable
         if self._pull_batch == 1:
             self._pull_batch = 0
+        #   HAVAC_REC_PACK=0      — revert the batched flow's delta16 record
+        #                           wire layout (words + 16-bit idx deltas +
+        #                           bounded escape list, 6 B/record) to the
+        #                           interleaved (idx, word) pairs (8 B).
+        #                           Record bytes are the genomic-density tax
+        #                           on this rig's serialized ~20 MB/s D2H
+        #                           (the uniform→genomic 150k gap is pure
+        #                           record traffic, runtime_table_r4*).
+        self._rec_pack = (self._pull_batch > 0 and
+                          _os.environ.get("HAVAC_REC_PACK", "1") != "0")
         self._batch_free: List = []  # recycled (hdrbuf, recbuf) sets
         self._batch_bufs_cap = 0  # cap the free sets were sized for
         #   HAVAC_DRAIN_BANDS=n   — dirty-band granularity of the kernel's
-        #                           tile drain (1 = legacy full-tile DMA per
-        #                           dirty flush). The engine's compaction
-        #                           indexes tiles through the count sidecar
-        #                           only, so skipped bands' stale rows are
-        #                           never read; at the dense 150k point the
-        #                           full-tile drain moved ~6 GB/chunk of
-        #                           zeros. Rounded down to a divisor of
-        #                           WS//8 per geometry (ssv_swar.
-        #                           _effective_drain_bands).
-        self._drain_bands = int(_os.environ.get("HAVAC_DRAIN_BANDS", "18"))
+        #                           tile drain (1 = full-tile DMA per dirty
+        #                           flush, the DEFAULT). The round-4 banded
+        #                           variant (default 18) saved HBM bytes in
+        #                           theory but measured SLOWER everywhere it
+        #                           was A/B'd: the fuseladder decomposition
+        #                           (benchmarks/fuseladder_v5e.json) prices
+        #                           the full-tile drain at +0.0 ms/chunk
+        #                           over the sidecar-only kernel (the DMA
+        #                           overlaps compute; HBM bytes are not the
+        #                           bottleneck) while 18 bands cost +4.5
+        #                           ms/chunk of per-band DMA issue overhead,
+        #                           matching the round-4 interleaved gate
+        #                           sweep (bands1 27.4 s vs bands18 29.6 s,
+        #                           gatesweep150k_bands_v5e.json). Kept as a
+        #                           knob; rounded down to a divisor of WS//8
+        #                           (ssv_swar._effective_drain_bands).
+        self._drain_bands = int(_os.environ.get("HAVAC_DRAIN_BANDS", "1"))
         if self.cfg.packing != 3:
             self._drain_bands = 1  # unpacked kernel: no banded drain
         _bgb = _os.environ.get("HAVAC_TILE_BUDGET_GB")
@@ -909,7 +1025,8 @@ class PipelinedSweep:
                 self.W3 if self.cfg.packing == 3 else self.W, self.K, maxt,
                 cap, bool(self.cfg.interpret), self._isolate,
                 split=self._slice_pull, donate=self._donate, batch=batch,
-                drain_bands=self._drain_bands)
+                drain_bands=self._drain_bands,
+                pack16=self._rec_pack and batch > 0)
             self._fused[key] = fn
         return fn
 
@@ -995,7 +1112,16 @@ class PipelinedSweep:
         jnp = self.jnp
         kb = self._pull_batch
         return (jnp.zeros((kb, 8 + maxt), jnp.int32),
-                jnp.zeros((kb * 2 * cap,), jnp.int32))
+                jnp.zeros((kb * self._chunk_slab(maxt, cap),), jnp.int32))
+
+    def _chunk_slab(self, maxt: int, cap: int) -> int:
+        """Worst-case record-slab ints appended per chunk: delta16 layout
+        (words + packed deltas + bounded escapes) or legacy pairs."""
+        if self._rec_pack:
+            return round_up(
+                cap + (cap + 1) // 2
+                + _packed16_esc_cap(maxt, self._tile_words, cap), 8)
+        return 2 * cap
 
     def _dispatch_batched(self, symw, scores_dev, istate, icarry, maxt: int,
                           reset_dev, cap: int, hdrbuf, recbuf, roff,
@@ -1077,6 +1203,31 @@ class PipelinedSweep:
         pairs = rec[:2 * n]
         idx = pairs[0::2].astype(np.int64)
         words = np.ascontiguousarray(pairs[1::2])
+        slots = idx // self._tile_words
+        word_idx = idx % self._tile_words
+        ids = header[8:][slots]
+        S = self._scores_dev[ri].shape[0]
+        # nthreads=1: collector-pool worker (see _decode_packed).
+        rows, pos = self._mod.decode_swar_flat(ids, word_idx, words, S,
+                                               self.W3, sort=True,
+                                               nthreads=1)
+        keep = (rows < Pc) & (pos < Lc)
+        return self._finish_chunk(ri, rows[keep] + r0, pos[keep] + lo,
+                                  t_decode)
+
+    def _decode_packed16(self, header: np.ndarray, seg: np.ndarray, n: int,
+                         n_esc: int, ri: int, lo: int, Lc: int):
+        """delta16 variant of :meth:`_decode_split`: ``seg`` holds the
+        chunk's [words(n), packed deltas(ceil(n/2)), escapes(n_esc)]
+        segments (see :func:`_compact_tiles_packed16`)."""
+        t_decode = time.perf_counter()
+        r0 = ri * self.rchunk
+        Pc = min(self.P, r0 + self.rchunk) - r0
+        if n == 0:
+            return self._finish_chunk(ri, np.empty(0, dtype=np.int64),
+                                      np.empty(0, dtype=np.int64), t_decode)
+        idx, words = unpack_delta16(seg, n, n_esc)
+        words = np.ascontiguousarray(words)
         slots = idx // self._tile_words
         word_idx = idx % self._tile_words
         ids = header[8:][slots]
@@ -1341,14 +1492,21 @@ class PipelinedSweep:
                     hdr2 = np.asarray(o[2])[0]
                     n2 = int(hdr2[0])
                     if n2 <= cap2:
-                        k2 = min(_pull_bucket(2 * n2), rb2.shape[0])
+                        sz = (_packed16_advance(n2, cap2, int(hdr2[2]))
+                              if self._rec_pack else 2 * n2)
+                        k2 = min(_pull_bucket(sz), rb2.shape[0])
                         rec2 = np.asarray(o[3][:k2])
                         self._batch_free.append((cap2, o[2], o[3]))
                         break
                     self._batch_free.append((cap2, o[2], o[3]))
                     cap2 = _grow_cap(n2, cap2)
-                futures.append(pool.submit(self._decode_split, hdr2, rec2,
-                                           n2, ri, lo, Lc))
+                if self._rec_pack:
+                    futures.append(pool.submit(
+                        self._decode_packed16, hdr2, rec2, n2,
+                        int(hdr2[2]), ri, lo, Lc))
+                else:
+                    futures.append(pool.submit(self._decode_split, hdr2,
+                                               rec2, n2, ri, lo, Lc))
 
             def drain_batch():
                 hb, hb8, rb, metas = pendb.pop(0)
@@ -1369,11 +1527,16 @@ class PipelinedSweep:
                     _wait_ready(hb)
                     headers = np.asarray(hb)
                 # Per-chunk record extents: the device advanced roff by the
-                # CLAMPED 2·min(n, cap) per chunk (cap may differ per chunk
+                # CLAMPED layout advance per chunk (cap may differ per chunk
                 # if it grew mid-batch), so offsets reconstruct exactly.
+                pack = self._rec_pack
                 offs = np.zeros(len(metas) + 1, dtype=np.int64)
                 for i, meta in enumerate(metas):
-                    offs[i + 1] = offs[i] + 2 * min(int(ns[i]), meta[1])
+                    nc = min(int(ns[i]), meta[1])
+                    adv = (_packed16_advance(nc, meta[1],
+                                             int(headers8[i, 2]))
+                           if pack else 2 * nc)
+                    offs[i + 1] = offs[i] + adv
                 total = int(offs[-1])
                 recs = np.empty(0, dtype=np.int32)
                 if total:
@@ -1405,9 +1568,15 @@ class PipelinedSweep:
                                 [np.zeros(8, np.int32),
                                  np.arange(maxt_i, dtype=np.int32)])
                             iota_hdrs[maxt_i] = hdr_i
-                    futures.append(pool.submit(
-                        self._decode_split, hdr_i,
-                        recs[offs[i]:offs[i + 1]], n, ri, lo, Lc))
+                    if pack:
+                        futures.append(pool.submit(
+                            self._decode_packed16, hdr_i,
+                            recs[offs[i]:offs[i + 1]], n,
+                            int(headers8[i, 2]), ri, lo, Lc))
+                    else:
+                        futures.append(pool.submit(
+                            self._decode_split, hdr_i,
+                            recs[offs[i]:offs[i + 1]], n, ri, lo, Lc))
                 self.prof["pull"] += time.perf_counter() - t0
                 # Recycle under the batch's cap tag (all chunks in a batch
                 # dispatch at the cap the batch was opened with).

@@ -91,6 +91,9 @@ def _ssv_swar_kernel(
     isolate: bool,
     drain_bands: int = 1,
     debug_rows: bool = False,
+    debug_drain: Optional[str] = None,
+    emit_cnts: bool = True,
+    cnt_mxu: bool = False,
 ):
     if isolate:
         reset_smem, *refs = refs
@@ -98,18 +101,22 @@ def _ssv_swar_kernel(
     if debug_rows:
         (ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref,
          ocnts_ref, orows_ref, state_ref, bits_ref, carry_ref, ind_refs_1,
-         ind_refs_2, ind_refs_3, cnt_ref, cntv_ref, dma_sem, nb_ref) = refs
+         ind_refs_2, ind_refs_3, cnt_ref, cntv_ref, dma_sem, nb_ref,
+         mones_ref, mmask_ref) = refs
     else:
         (ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref,
          ocnts_ref, state_ref, bits_ref, carry_ref, ind_refs_1, ind_refs_2,
-         ind_refs_3, cnt_ref, cntv_ref, dma_sem, nb_ref) = refs
+         ind_refs_3, cnt_ref, cntv_ref, dma_sem, nb_ref, mones_ref,
+         mmask_ref) = refs
     _ssv_swar_body(scores_smem, symw_ref, istate_ref, icarry_ref,
                    ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref,
                    ocnts_ref, state_ref, bits_ref, carry_ref, ind_refs_1,
                    ind_refs_2, ind_refs_3, cnt_ref, cntv_ref, dma_sem,
-                   nb_ref, reset_smem if isolate else None, K=K, WS=WS,
+                   nb_ref, mones_ref, mmask_ref,
+                   reset_smem if isolate else None, K=K, WS=WS,
                    isolate=isolate, drain_bands=drain_bands,
-                   orows_ref=orows_ref)
+                   orows_ref=orows_ref, debug_drain=debug_drain,
+                   emit_cnts=emit_cnts, cnt_mxu=cnt_mxu)
 
 
 def _ssv_swar_body(
@@ -132,6 +139,8 @@ def _ssv_swar_body(
     cntv_ref,  # (2, 8, 128) int32 VMEM — count-block staging for the DMA
     dma_sem,  # (2, 2) DMA semaphores: [staging slot, bands|sidecar]
     nb_ref,  # (2,) int32 SMEM — dirty-band count per staging slot
+    mones_ref,  # (128, 128) bf16 VMEM — all-ones MXU operand (cnt_mxu)
+    mmask_ref,  # (WS, 128) f32 VMEM — lane-select mask (r % C == g)
     reset_smem,  # (ROWS,) int32 SMEM or None
     *,
     K: int,
@@ -139,6 +148,36 @@ def _ssv_swar_body(
     isolate: bool,
     drain_bands: int = 1,
     orows_ref=None,  # (1, K, WS, 128) VMEM debug output: packed state/row
+    emit_cnts: bool = True,  # False skips the in-kernel count sidecar: the
+    #   per-dirty-flush count compute + store measured 6.4-8.9 ms/chunk at
+    #   the dense 150k geometry — the largest single fused-dispatch
+    #   overhead (benchmarks/fuseladder_v5e.json, k-none vs k-cntcompute /
+    #   k-b1-nc vs k-b1) — while the sidecar DMA itself is free. The
+    #   XLA-side recompute from fully drained tiles (xla_tile_counts) was
+    #   measured at 8.1 ms — WORSE than the in-kernel compute it replaces —
+    #   so production paths keep emit_cnts=True; False remains the
+    #   measurement rung that prices the sidecar. With False, ocnts is
+    #   returned untouched (donated passthrough / uninitialized) and MUST
+    #   NOT be read.
+    debug_drain: Optional[str] = None,  # MEASUREMENT ONLY (tools/fuseladder):
+    #   "sidecar" — count-sidecar DMA runs, tile band copies skipped (otiles
+    #               contents are then stale garbage; the sidecar prefix
+    #               structure stays real, so a fused compaction's timing is
+    #               representative while its word values are meaningless);
+    #   "none"    — no drain DMA at all (pure compute + slot bookkeeping).
+    # Production paths must pass None.
+    cnt_mxu: bool = False,  # Count-sidecar implementation A/B. The VPU
+    #   lane reduce + (8, C) relayout costs ~0.55 µs per dirty flush (6.4
+    #   ms/chunk dense, benchmarks/fuseladder_v5e.json k-b1-nc vs k-b1-vpu).
+    #   The MXU form — nz @ ones(128,128) broadcasts row counts across
+    #   lanes, a constant (r % C == g) mask keeps lane r % C, and a
+    #   sublane-group sum lands the (8, 128) staging layout with no
+    #   cross-lane VPU work — is exact (0/1 bf16 operands, integer sums
+    #   ≤ 128, f32 accumulation) but MEASURED WORSE (68.9 vs 67.5 ms/chunk,
+    #   fuseladder k-b1 vs k-b1-vpu): every count formulation (VPU, MXU,
+    #   XLA re-read) costs ~6.5-8 ms/chunk, implicating a fixed per-flush
+    #   dependency stall rather than the reduce itself. Kept as the
+    #   measured-and-rejected rung; default stays the VPU reduce.
 ):
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -148,9 +187,28 @@ def _ssv_swar_body(
     wslot = 1 - rslot
     nflush = K // ROWS_PER_FLUSH
 
+    use_mxu_cnt = cnt_mxu and emit_cnts and debug_drain is None
+
     @pl.when(jnp.logical_and(b == 0, s == 0))
     def _init_run():
         cnt_ref[0] = 0
+        if use_mxu_cnt:
+            mones_ref[:] = jnp.ones((128, 128), jnp.bfloat16)
+            ri = jax.lax.broadcasted_iota(jnp.int32, (WS, 128), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (WS, 128), 1)
+            mmask_ref[:] = (jax.lax.rem(ri, WS // 8) == ci).astype(
+                jnp.float32)
+
+    def _flush_counts_mxu(bits):
+        """(8, 128) per-sublane-row nonzero-word counts of one bitmap tile
+        ([i, g] counts row i·C+g; lanes ≥ C zero) — see the cnt_mxu note."""
+        C = WS // 8
+        nzb = (bits != 0).astype(jnp.bfloat16)
+        s1 = jax.lax.dot_general(
+            nzb, mones_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s2 = s1 * mmask_ref[:]
+        return jnp.sum(s2.reshape(8, C, 128), axis=1).astype(jnp.int32)
 
     @pl.when(s == 0)
     def _init_block():
@@ -234,6 +292,66 @@ def _ssv_swar_body(
             NB = drain_bands
             PART = WS // NB  # multiple of 8 by _effective_drain_bands
 
+            if debug_drain == "none":
+                # Ladder level 0: no DMA at all — slot bookkeeping only, so
+                # the grid's control flow (and ocount) match the real kernel.
+                @pl.when(any_hit)
+                def _bookkeep(flush=flush):
+                    cnt = cnt_ref[0]
+                    slot = jnp.minimum(cnt, otiles_ref.shape[0] - 1)
+                    ometa_ref[slot] = (b * S + s) * nflush + flush
+                    cnt_ref[0] = cnt + 1
+
+                bits = jnp.zeros_like(state)
+                continue
+
+            if debug_drain in ("sidecar", "cntcompute", "sidecar-u"):
+                # Ladder level 1: count sidecar computed (+ DMAed unless
+                # "cntcompute") per dirty flush, tile band copies skipped.
+                # "sidecar-u" hoists the count compute OUT of the @pl.when
+                # (unconditional vector work; store + DMA stay conditional)
+                # to price the conditional's effect on Mosaic's pipeline.
+                C = WS // 8
+                dma = debug_drain != "cntcompute"
+                counts_u = None
+                if debug_drain == "sidecar-u":
+                    counts_u = jnp.sum(
+                        (bits.reshape(8, C, 128) != 0).astype(jnp.int32),
+                        axis=2)
+
+                @pl.when(any_hit)
+                def _sidecar_only(flush=flush, bits=bits, counts_u=counts_u):
+                    cnt = cnt_ref[0]
+                    d = jax.lax.rem(cnt, 2)
+                    slot = jnp.minimum(cnt, otiles_ref.shape[0] - 1)
+
+                    if dma:
+                        @pl.when(cnt >= 2)
+                        def _wait_prev():
+                            pltpu.make_async_copy(
+                                cntv_ref.at[d], ocnts_ref.at[slot],
+                                dma_sem.at[d, 1]).wait()
+
+                    counts = counts_u
+                    if counts is None:
+                        counts = jnp.sum(
+                            (bits.reshape(8, C, 128) != 0).astype(jnp.int32),
+                            axis=2)
+                    if C != 128:
+                        cntv_ref[d, :, 0:C] = counts
+                    else:
+                        cntv_ref[d] = counts
+                    if dma:
+                        pltpu.make_async_copy(cntv_ref.at[d],
+                                              ocnts_ref.at[slot],
+                                              dma_sem.at[d, 1]).start()
+                    nb_ref[d] = 0
+                    ometa_ref[slot] = (b * S + s) * nflush + flush
+                    cnt_ref[0] = cnt + 1
+
+                bits = jnp.zeros_like(state)
+                continue
+
             @pl.when(any_hit)
             def _drain(flush=flush, bits=bits):
                 # Double-buffered drain: staging slot d alternates per dirty
@@ -270,26 +388,33 @@ def _ssv_swar_body(
                         return c
 
                     jax.lax.fori_loop(0, nb_ref[d], wb, 0)
-                    pltpu.make_async_copy(
-                        cntv_ref.at[d], ocnts_ref.at[slot],
-                        dma_sem.at[d, 1]).wait()
+                    if emit_cnts:
+                        pltpu.make_async_copy(
+                            cntv_ref.at[d], ocnts_ref.at[slot],
+                            dma_sem.at[d, 1]).wait()
 
                 bits_ref[d] = bits
-                # Per-sublane-row nonzero-word counts, computed while
-                # the bits are still in registers: the host-side
-                # compaction's prefix structure comes straight from this
-                # small sidecar instead of a full read of the 2 GB tile
-                # buffer. Shaped (8, WS/8) via a leading-dim view (a pure
-                # metadata reshape: [i, g] counts row i*(WS/8)+g) so both
-                # the store and the DMA are tile-aligned — Mosaic rejects
-                # 1D stores/copies whose length is not a tile multiple.
-                C = WS // 8
-                counts = jnp.sum(
-                    (bits.reshape(8, C, 128) != 0).astype(jnp.int32), axis=2)
-                if C != 128:
-                    cntv_ref[d, :, 0:C] = counts
-                else:
-                    cntv_ref[d] = counts
+                if emit_cnts:
+                    # Per-sublane-row nonzero-word counts, computed while
+                    # the bits are still in registers: the host-side
+                    # compaction's prefix structure comes straight from this
+                    # small sidecar instead of a full read of the 2 GB tile
+                    # buffer. Staged (8, WS/8)-within-(8, 128) so both the
+                    # store and the DMA are tile-aligned — Mosaic rejects 1D
+                    # stores/copies whose length is not a tile multiple.
+                    # cnt_mxu computes it on the MXU (see _flush_counts_mxu);
+                    # the legacy VPU lane reduce below is the A/B rung.
+                    if use_mxu_cnt:
+                        cntv_ref[d] = _flush_counts_mxu(bits)
+                    else:
+                        C = WS // 8
+                        counts = jnp.sum(
+                            (bits.reshape(8, C, 128) != 0).astype(jnp.int32),
+                            axis=2)
+                        if C != 128:
+                            cntv_ref[d, :, 0:C] = counts
+                        else:
+                            cntv_ref[d] = counts
                 if NB == 1:
                     pltpu.make_async_copy(bits_ref.at[d],
                                           otiles_ref.at[slot],
@@ -310,8 +435,9 @@ def _ssv_swar_body(
 
                         nb = nb + dirty.astype(jnp.int32)
                     nb_ref[d] = nb
-                pltpu.make_async_copy(cntv_ref.at[d], ocnts_ref.at[slot],
-                                      dma_sem.at[d, 1]).start()
+                if emit_cnts:
+                    pltpu.make_async_copy(cntv_ref.at[d], ocnts_ref.at[slot],
+                                          dma_sem.at[d, 1]).start()
                 ometa_ref[slot] = (b * S + s) * nflush + flush
                 cnt_ref[0] = cnt + 1
 
@@ -319,36 +445,40 @@ def _ssv_swar_body(
 
     state_ref[:] = state
 
-    @pl.when(jnp.logical_and(b == B - 1, s == S - 1))
-    def _drain_tail():
-        # The last one or two dirty flushes still have DMAs in flight
-        # (their waits would have run two dirty flushes later); semaphores
-        # must be drained before the kernel exits.
-        cnt = cnt_ref[0]
-        maxt = otiles_ref.shape[0]
-        PART = WS // drain_bands
+    if debug_drain not in ("none", "cntcompute"):
+        @pl.when(jnp.logical_and(b == B - 1, s == S - 1))
+        def _drain_tail():
+            # The last one or two dirty flushes still have DMAs in flight
+            # (their waits would have run two dirty flushes later);
+            # semaphores must be drained before the kernel exits. (In
+            # "sidecar" debug mode nb_ref is 0 on every dirty flush, so the
+            # band-wait loop is a no-op and only the sidecar sem drains.)
+            cnt = cnt_ref[0]
+            maxt = otiles_ref.shape[0]
+            PART = WS // drain_bands
 
-        def _wait_pair(c):
-            d = jax.lax.rem(c, 2)
-            slot = jnp.minimum(c, maxt - 1)
+            def _wait_pair(c):
+                d = jax.lax.rem(c, 2)
+                slot = jnp.minimum(c, maxt - 1)
 
-            def wb(_, carry):
-                pltpu.make_async_copy(bits_ref.at[d, 0:PART],
-                                      otiles_ref.at[slot, 0:PART],
-                                      dma_sem.at[d, 0]).wait()
-                return carry
+                def wb(_, carry):
+                    pltpu.make_async_copy(bits_ref.at[d, 0:PART],
+                                          otiles_ref.at[slot, 0:PART],
+                                          dma_sem.at[d, 0]).wait()
+                    return carry
 
-            jax.lax.fori_loop(0, nb_ref[d], wb, 0)
-            pltpu.make_async_copy(cntv_ref.at[d], ocnts_ref.at[slot],
-                                  dma_sem.at[d, 1]).wait()
+                jax.lax.fori_loop(0, nb_ref[d], wb, 0)
+                if emit_cnts:
+                    pltpu.make_async_copy(cntv_ref.at[d], ocnts_ref.at[slot],
+                                          dma_sem.at[d, 1]).wait()
 
-        @pl.when(cnt >= 2)
-        def _():
-            _wait_pair(cnt - 2)
+            @pl.when(cnt >= 2)
+            def _():
+                _wait_pair(cnt - 2)
 
-        @pl.when(cnt >= 1)
-        def _():
-            _wait_pair(cnt - 1)
+            @pl.when(cnt >= 1)
+            def _():
+                _wait_pair(cnt - 1)
 
     @pl.when(b == B - 1)
     def _emit_carry():
@@ -393,7 +523,8 @@ def _effective_drain_bands(WS: int, requested: Optional[int]) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("block_words", "max_hit_tiles", "interpret", "isolate",
-                     "debug_rows", "drain_bands"),
+                     "debug_rows", "drain_bands", "debug_drain",
+                     "emit_cnts", "cnt_mxu"),
 )
 def _ssv_swar_jit(
     symw_blocks,  # (B, WS, 128) int32 packed
@@ -410,6 +541,9 @@ def _ssv_swar_jit(
     isolate: bool = False,
     debug_rows: bool = False,
     drain_bands: Optional[int] = None,
+    debug_drain: Optional[str] = None,  # measurement ladder only, see body
+    emit_cnts: bool = True,  # False: ocnts returned UNWRITTEN (see body)
+    cnt_mxu: bool = False,  # True: MXU count rung (measured worse, see body)
 ):
     B, WS, _ = symw_blocks.shape
     S, K, _ = scores_strips.shape
@@ -424,7 +558,9 @@ def _ssv_swar_jit(
     grid = (B, S)
     nbands = _effective_drain_bands(WS, drain_bands)
     kernel = functools.partial(_ssv_swar_kernel, K=K, WS=WS, isolate=isolate,
-                               drain_bands=nbands, debug_rows=debug_rows)
+                               drain_bands=nbands, debug_rows=debug_rows,
+                               debug_drain=debug_drain, emit_cnts=emit_cnts,
+                               cnt_mxu=cnt_mxu)
     if tiles_buf is not None:
         # The aliased inputs append two refs after [reset]; the kernel body
         # never reads them (aliasing only supplies the buffers), so drop
@@ -511,6 +647,8 @@ def _ssv_swar_jit(
             pltpu.VMEM((2, 8, 128), jnp.int32),  # count-block DMA staging
             pltpu.SemaphoreType.DMA((2, 2)),  # per-slot (bands, sidecar) sems
             pltpu.SMEM((2,), jnp.int32),  # dirty-band count per slot
+            pltpu.VMEM((128, 128), jnp.bfloat16),  # MXU ones (cnt_mxu)
+            pltpu.VMEM((WS, 128), jnp.float32),  # lane-select mask (cnt_mxu)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -519,6 +657,29 @@ def _ssv_swar_jit(
         interpret=interpret,
     )(*inputs)
     return out
+
+
+def xla_tile_counts(otiles):
+    """Per-sublane-row nonzero-word counts computed in XLA from FULLY
+    drained tiles: (maxt, WS, 128) → (maxt, 8, WS//8), [slot, i, g] counts
+    row i·(WS//8)+g — the kernel ocnts sidecar's contract (sans lane
+    padding; :func:`_compact_tiles_core` slices to WS//8 lanes anyway).
+
+    Pairs with ``emit_cnts=False``. MEASURED AND REJECTED as the production
+    count source: the full-buffer reduce costs 8.1 ms/chunk at the dense
+    150k geometry (252 GB/s effective over the 2 GB buffer) vs 6.4 ms for
+    the kernel's in-register count it would replace
+    (benchmarks/fuseladder_v5e.json xc-b1 / f-b1-xc rungs) — kept as the
+    measurement rung and for consumers without kernel counts. Valid ONLY
+    under drain_bands=1 (banded drains leave stale rows inside live slots
+    that this full-buffer reduce would count). Stale slots ≥ ocount are
+    fine: compaction masks whole slots by the count exactly as it does for
+    stale sidecar entries."""
+    import jax.numpy as jnp
+
+    maxt, WS, _ = otiles.shape
+    return jnp.sum((otiles.reshape(maxt, 8, WS // 8, 128) != 0)
+                   .astype(jnp.int32), axis=3)
 
 
 def decode_swar_tiles(

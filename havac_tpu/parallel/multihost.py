@@ -218,6 +218,26 @@ def global_record_max_many(packeds_list, mesh):
     return np.asarray(m)
 
 
+def global_batch_header_max(hdrbuf, mesh):
+    """Batched-pull variant of :func:`global_record_max`: global max of the
+    nrec column (header[:, 0]) of the sharded batch header accumulator,
+    replicated to every process so capacity-retry decisions agree across
+    hosts. Returns None single-process (the local header pull already sees
+    every addressable shard)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if jax.process_count() == 1:
+        return None
+    key = ("batchhdr", mesh)
+    if key not in _RECORD_MAX_FNS:
+        rep = NamedSharding(mesh, PartitionSpec())
+        _RECORD_MAX_FNS[key] = jax.jit(
+            lambda h: jnp.max(h[:, 0]), out_shardings=rep)
+    return int(np.asarray(_RECORD_MAX_FNS[key](hdrbuf)))
+
+
 def stage_replicated(value: np.ndarray, mesh):
     """Replicate a host-identical array across every device of the mesh
     (every process passes the same value)."""

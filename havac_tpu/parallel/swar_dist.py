@@ -19,6 +19,7 @@ output is a small packed record vector, not gigabytes of bitmap tiles.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional, Tuple
 
@@ -35,7 +36,11 @@ from havac_tpu.ops.ssv_swar import (
     decode_swar_flat,
     pack_symbols,
 )
-from havac_tpu.engine.pipeline import _compact_tiles_impl
+from havac_tpu.engine.pipeline import (_compact_tiles_impl,
+                                       _compact_tiles_packed16,
+                                       _compact_tiles_split,
+                                       _packed16_advance, _packed16_esc_cap,
+                                       _pull_bucket, unpack_delta16)
 
 
 class _RecordCapacityExceeded(RuntimeError):
@@ -200,6 +205,107 @@ def make_swar_dist_step_fn(mesh: Mesh, axis: str, block_words: int,
     return jax.jit(fn)
 
 
+def make_swar_dist_batch_step_fn(mesh: Mesh, axis: str, block_words: int,
+                                 rows_per_step: int, num_chunks: int,
+                                 max_hit_tiles: int, record_cap: int,
+                                 interpret: bool, col_chunks: int = 1,
+                                 isolate: bool = False, batch: int = 8,
+                                 pack16: bool = True):
+    """:func:`make_swar_dist_step_fn` with the pipelined engine's batched
+    pull discipline (VERDICT r4 #2): each step's compacted records APPEND on
+    device to per-shard donated accumulators — ``hdrbuf`` (kb·CC, 8 + maxt)
+    split headers by batch position, ``recbuf`` (kb·CC·2·cap,) valid record
+    prefixes at the device-resident running offset ``roff`` — so the host
+    pulls the 8-int header prefixes plus ONE bucketed record-slab prefix per
+    shard per ``batch`` steps, instead of a full cap-sized packed vector per
+    step per shard. The legacy per-step flow pulled (1 + maxt + 2·cap) ints
+    per step; at the dense 150k point that was 137–145 s of the mesh path's
+    200 s run on this rig's serialized ~20 MB/s D2H tunnel
+    (benchmarks/race_paths_v5e.json). Match: the reference's hit drain
+    overlaps the sweep by construction (device/HitReporting.cpp:58-148).
+
+    fn(symw, scores, resets, istate sharded, seam sharded, t (1,) replicated,
+    bpos (1,) replicated batch position, hdrbuf/recbuf/roff sharded+donated)
+      → (istate', seam', hdrbuf', recbuf', roff')."""
+    shard_map = _get_shard_map()
+    R = rows_per_step
+    S = num_chunks
+    D = mesh.shape[axis]
+    W3 = block_words
+    CC = col_chunks
+    cap = record_cap
+    perm = [(k, k + 1) for k in range(D - 1)]
+
+    def device_fn(symw, scores_strips, reset_steps, istate, seam_in, t,
+                  bpos, hdrbuf, recbuf, roff):
+        k = jax.lax.axis_index(axis)
+        Bs = symw.shape[0]
+        assert Bs % CC == 0, (
+            f"shard blocks ({Bs}) must be a multiple of col_chunks ({CC})")
+        Bc = Bs // CC
+        s = t[0] - k
+        active = jnp.logical_and(s >= 0, s < S)
+        sc = jax.lax.dynamic_index_in_dim(
+            scores_strips, jnp.clip(s, 0, S - 1), 0, keepdims=False)
+        rr = jax.lax.dynamic_index_in_dim(
+            reset_steps, jnp.clip(s, 0, S - 1), 0, keepdims=False)
+
+        def col_chunk(carry_c, c):
+            symw_c = jax.lax.dynamic_slice_in_dim(symw, c * Bc, Bc)
+            istate_c = jax.lax.dynamic_slice_in_dim(istate, c * Bc, Bc)
+            (ostate, ocarry, ometa, ocount, otiles,
+             ocnts) = _ssv_swar_jit(
+                symw_c, sc, istate_c, carry_c,
+                rr if isolate else None, block_words=W3,
+                max_hit_tiles=max_hit_tiles, interpret=interpret,
+                isolate=isolate)
+            count = jnp.where(active, ocount[0], 0)
+            if pack16:
+                header, words, dpk, escv = _compact_tiles_packed16(
+                    otiles, ocnts, ometa, count, cap=cap)
+                return ocarry, (ostate, header, words, dpk, escv)
+            header, rec = _compact_tiles_split(otiles, ocnts, ometa, count,
+                                               cap=cap)
+            return ocarry, (ostate, header, rec)
+
+        ocarry, scanned = jax.lax.scan(col_chunk, seam_in[0],
+                                       jnp.arange(CC))
+        ostates, headers = scanned[0], scanned[1]
+        new_istate = ostates.reshape(Bs, *symw.shape[1:])
+        istate = jnp.where(active, new_istate, istate)
+        seam_out = jnp.where(active, ocarry, jnp.zeros_like(ocarry))
+        seam_next = jax.lax.ppermute(seam_out, axis, perm)
+        off = roff[0]
+        for c in range(CC):
+            hdrbuf = jax.lax.dynamic_update_slice(
+                hdrbuf, headers[c][None], (bpos[0] * CC + c, 0))
+            n = jnp.minimum(headers[c][0], cap)
+            if pack16:
+                _, _, words, dpk, escv = scanned
+                recbuf = jax.lax.dynamic_update_slice(recbuf, words[c],
+                                                      (off,))
+                recbuf = jax.lax.dynamic_update_slice(recbuf, dpk[c],
+                                                      (off + n,))
+                recbuf = jax.lax.dynamic_update_slice(
+                    recbuf, escv[c], (off + n + (n + 1) // 2,))
+                off = off + _packed16_advance(n, cap, headers[c][2])
+            else:
+                recbuf = jax.lax.dynamic_update_slice(recbuf,
+                                                      scanned[2][c], (off,))
+                off = off + 2 * n
+        return istate, seam_next[None], hdrbuf, recbuf, off[None]
+
+    specs = dict(mesh=mesh,
+                 in_specs=(P(axis), P(), P(), P(axis), P(axis), P(), P(),
+                           P(axis), P(axis), P(axis)),
+                 out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)))
+    try:
+        fn = shard_map(device_fn, check_vma=False, **specs)
+    except TypeError:  # pragma: no cover - older jax
+        fn = shard_map(device_fn, check_rep=False, **specs)
+    return jax.jit(fn, donate_argnums=(7, 8, 9))
+
+
 class SwarDistributedSweep:
     """Stateful multi-chip SWAR sweep (engine mesh fast path).
 
@@ -265,6 +371,22 @@ class SwarDistributedSweep:
         self.symw_dev = stage_sharded(
             pack_symbols(local_padded, self.W3), self._shard, G)
         self._fns = {}
+        # HAVAC_MESH_PULL_BATCH=k — wavefront steps whose compacted records
+        # accumulate ON DEVICE (per shard) before one header-prefix + one
+        # bucketed record-slab pull per shard (0 = legacy per-step cap-sized
+        # pulls, the pre-round-5 flow kept for A/B). Default 8: T is
+        # typically tens of steps, so 8 bounds the drain tail while cutting
+        # the serialized-D2H transfer count ~8x (the per-step pulls were
+        # 137-145 s of the mesh path's 200 s dense 150k run,
+        # benchmarks/race_paths_v5e.json).
+        self._pull_batch = int(os.environ.get("HAVAC_MESH_PULL_BATCH", "8"))
+        if self._pull_batch < 0:
+            self._pull_batch = 8
+        # HAVAC_REC_PACK=0 — legacy interleaved (idx, word) pairs instead of
+        # the delta16 wire layout (same knob as the pipelined engine).
+        self._rec_pack = (self._pull_batch > 0 and
+                          os.environ.get("HAVAC_REC_PACK", "1") != "0")
+        self._iota_hdr: Optional[np.ndarray] = None
         # Per-phase wall-clock attribution (seconds), like the pipelined
         # path's PipelinedSweep.prof — filled by run():
         #   dispatch — enqueueing wavefront steps (async)
@@ -336,9 +458,17 @@ class SwarDistributedSweep:
             rr[:P_] = np.asarray(reset_rows, dtype=np.int32)
         rr_dev = stage_replicated(rr.reshape(S, self.R), self.mesh)
 
-        key = (S, isolate, monolithic)
+        kb = 0 if monolithic else self._pull_batch
+        key = (S, isolate, monolithic, kb, self._rec_pack)
         if key not in self._fns:
-            make = make_swar_dist_fn if monolithic else make_swar_dist_step_fn
+            if monolithic:
+                make = make_swar_dist_fn
+            elif kb:
+                import functools as _ft
+                make = _ft.partial(make_swar_dist_batch_step_fn, batch=kb,
+                                   pack16=self._rec_pack)
+            else:
+                make = make_swar_dist_step_fn
             self._fns[key] = make(
                 self.mesh, self.axis, self.W3, self.R, S, self.maxt,
                 self.record_cap, self.interpret,
@@ -376,6 +506,12 @@ class SwarDistributedSweep:
                         self._decode_step(arr[dd, t], d, t - d, S,
                                           all_rows, all_pos)
                 self.prof["decode"] += time.perf_counter() - t0
+        elif kb:
+            done = self._run_steps_batched(
+                self._fns[key], sc_dev, rr_dev, S, T, all_rows, all_pos,
+                abort_event, progress, checkpoint_cb, resume, ckpt_every)
+            if done is None:
+                return None
         else:
             from havac_tpu.parallel.multihost import local_leading_slice
 
@@ -457,6 +593,198 @@ class SwarDistributedSweep:
         out = sort_hit_pairs(rows, pos)
         self.prof["sort"] += time.perf_counter() - t0
         return out
+
+    def _run_steps_batched(self, fn, sc_dev, rr_dev, S: int, T: int,
+                           all_rows: list, all_pos: list, abort_event,
+                           progress, checkpoint_cb, resume,
+                           ckpt_every: int) -> Optional[bool]:
+        """Step-dispatch sweep with device-side record accumulation: the
+        host pulls TWO transfers per shard per ``kb`` steps (header prefixes
+        + one bucketed record-slab prefix) instead of a cap-sized packed
+        vector per step per shard — the pipelined engine's pull discipline
+        (engine/pipeline.py batched flow) ported to the mesh path.
+        Returns None if aborted, True when complete."""
+        from havac_tpu.parallel.multihost import (
+            device_zeros, global_batch_header_max, local_leading_slice,
+            stage_replicated, stage_sharded)
+
+        D = self.D
+        CC = self.col_chunks
+        cap = self.record_cap
+        maxt = self.maxt
+        kb = self._pull_batch
+        G = self.shard_blocks * D
+        hdr_rows = kb * CC
+        pack = self._rec_pack
+        chunk_slab = (round_up(cap + (cap + 1) // 2
+                               + _packed16_esc_cap(maxt, self.W3, cap), 8)
+                      if pack else 2 * cap)
+        slab = hdr_rows * chunk_slab
+
+        start_t = 0
+        if resume is not None:
+            start_t, istate_local, seam_local, rows0, pos0 = resume
+            istate = stage_sharded(istate_local, self._shard, G)
+            seam = stage_sharded(seam_local, self._shard, self.D)
+            all_rows.append(np.asarray(rows0, dtype=np.int64))
+            all_pos.append(np.asarray(pos0, dtype=np.int64))
+        else:
+            istate = device_zeros((G, self.W3 // 128, 128), jnp.int32,
+                                  self._shard)
+            seam = device_zeros((self.D, self.R + 1), jnp.int32, self._shard)
+        tarr = stage_replicated(
+            np.arange(T, dtype=np.int32).reshape(T, 1), self.mesh)
+        barr = stage_replicated(
+            np.arange(kb, dtype=np.int32).reshape(kb, 1), self.mesh)
+        hdrbuf = device_zeros((D * hdr_rows, 8 + maxt), jnp.int32,
+                              self._shard)
+        recbuf = device_zeros((D * slab,), jnp.int32, self._shard)
+        roff = device_zeros((D,), jnp.int32, self._shard)
+        hkey = ("hdr8", D * hdr_rows, 8 + maxt)
+        if hkey not in self._fns:
+            self._fns[hkey] = jax.jit(lambda h: h[:, :8])
+        hdr8_fn = self._fns[hkey]
+        metas: list = []  # global step index per batch position
+
+        def drain_batch():
+            nonlocal roff
+            if not metas:
+                return
+            # Replicated overflow check FIRST — multi-host capacity-retry
+            # decisions must be identical on every host (a host raising on
+            # its local shards alone would desync the next collective).
+            # Stale header rows beyond the current batch can never
+            # false-trigger: a row that survived a previous drain had
+            # n <= cap, and cap never shrinks within a run.
+            t0 = time.perf_counter()
+            gmax = global_batch_header_max(hdrbuf, self.mesh)
+            if gmax is not None and int(gmax) > cap:
+                raise _RecordCapacityExceeded(int(gmax))
+            self.prof["sync"] += time.perf_counter() - t0
+            nrows = len(metas) * CC
+            t0 = time.perf_counter()
+            hdr8 = hdr8_fn(hdrbuf)
+            h8_by_d = {}
+            for sh in hdr8.addressable_shards:
+                d = (sh.index[0].start or 0) // hdr_rows
+                h8_by_d[d] = np.asarray(sh.data)[:nrows]
+            self.prof["pull"] += time.perf_counter() - t0
+            full_by_d = {}
+            for sh in hdrbuf.addressable_shards:
+                d = (sh.index[0].start or 0) // hdr_rows
+                h8 = h8_by_d[d]
+                ns = h8[:, 0].astype(np.int64)
+                if ns.max(initial=0) > cap:
+                    raise _RecordCapacityExceeded(int(ns.max()))
+                # Dense chunks (count == maxt: every tile dirty, slots in
+                # grid order) have ometa === iota; the maxt-wide header rows
+                # then never cross the wire (engine/pipeline.py drain_batch
+                # applies the same skip).
+                if np.any((ns > 0) & (h8[:, 1] != maxt)):
+                    t1 = time.perf_counter()
+                    full_by_d[d] = np.asarray(sh.data)[:nrows]
+                    self.prof["pull"] += time.perf_counter() - t1
+            for sh in recbuf.addressable_shards:
+                d = (sh.index[0].start or 0) // slab
+                h8 = h8_by_d[d]
+                ns = h8[:, 0].astype(np.int64)
+                ncl = np.minimum(ns, cap)
+                if pack:
+                    advs = ncl + (ncl + 1) // 2 + h8[:, 2].astype(np.int64)
+                else:
+                    advs = 2 * ncl
+                offs = np.zeros(nrows + 1, dtype=np.int64)
+                offs[1:] = np.cumsum(advs)
+                total = int(offs[-1])
+                recs = np.empty(0, dtype=np.int32)
+                if total:
+                    t1 = time.perf_counter()
+                    sl = sh.data[: min(_pull_bucket(total), slab)]
+                    recs = np.asarray(sl)
+                    self.prof["pull"] += time.perf_counter() - t1
+                t1 = time.perf_counter()
+                full = full_by_d.get(d)
+                for i in range(nrows):
+                    t = metas[i // CC]
+                    c = i % CC
+                    n = int(ns[i])
+                    if n == 0:
+                        continue
+                    ometa = (full[i][8:] if full is not None
+                             else self._iota_header())
+                    seg = recs[offs[i]:offs[i + 1]]
+                    if pack:
+                        idx, words = unpack_delta16(seg, n, int(h8[i, 2]))
+                        self._decode_idx_words(idx, words, d, t - d, S, c,
+                                               ometa, all_rows, all_pos)
+                    else:
+                        self._decode_split_chunk(ometa, seg, n, d, t - d,
+                                                 S, c, all_rows, all_pos)
+                self.prof["decode"] += time.perf_counter() - t1
+            roff = device_zeros((D,), jnp.int32, self._shard)
+            metas.clear()
+
+        for t in range(start_t, T):
+            if abort_event is not None and abort_event.is_set():
+                return None
+            t0 = time.perf_counter()
+            istate, seam, hdrbuf, recbuf, roff = fn(
+                self.symw_dev, sc_dev, rr_dev, istate, seam, tarr[t],
+                barr[len(metas)], hdrbuf, recbuf, roff)
+            self.prof["dispatch"] += time.perf_counter() - t0
+            metas.append(t)
+            if progress is not None:
+                progress(t + 1, T)
+            if len(metas) == kb:
+                drain_batch()
+            if (checkpoint_cb is not None and t + 1 < T
+                    and (t + 1 - start_t) % ckpt_every == 0):
+                drain_batch()  # seal the partial batch at the cut
+                t0 = time.perf_counter()
+                il, ilo = local_leading_slice(istate)
+                sl, slo = local_leading_slice(seam)
+                rows_s = (np.concatenate(all_rows) if all_rows
+                          else np.empty(0, dtype=np.int64))
+                pos_s = (np.concatenate(all_pos) if all_pos
+                         else np.empty(0, dtype=np.int64))
+                all_rows[:] = [rows_s]
+                all_pos[:] = [pos_s]
+                checkpoint_cb(t + 1, il, ilo, sl, slo, rows_s, pos_s)
+                self.prof["sync"] += time.perf_counter() - t0
+        drain_batch()
+        return True
+
+    def _iota_header(self) -> np.ndarray:
+        if self._iota_hdr is None or self._iota_hdr.shape[0] != self.maxt:
+            self._iota_hdr = np.arange(self.maxt, dtype=np.int32)
+        return self._iota_hdr
+
+    def _decode_split_chunk(self, ometa, rec, n: int, d: int, s: int,
+                            S: int, c: int, all_rows: list,
+                            all_pos: list) -> None:
+        """Decode one (shard, step, col-chunk) split record block: ``rec``
+        holds interleaved (idx, word) pairs of which the first ``n`` are
+        valid; ``ometa`` is the (maxt,) tile-id table (iota when dense)."""
+        pairs = rec[:2 * n]
+        idx = pairs[0::2].astype(np.int64)
+        words = np.ascontiguousarray(pairs[1::2])
+        self._decode_idx_words(idx, words, d, s, S, c, ometa, all_rows,
+                               all_pos)
+
+    def _decode_idx_words(self, idx, words, d: int, s: int, S: int, c: int,
+                          ometa, all_rows: list, all_pos: list) -> None:
+        if not (0 <= s < S):
+            return
+        words = np.ascontiguousarray(words)
+        slots = idx // self.W3
+        word_idx = idx % self.W3
+        ids = ometa[slots]
+        rows, pos = decode_swar_flat(ids, word_idx, words,
+                                     self.R // ROWS_PER_STRIP, self.W3,
+                                     sort=False)
+        chunk_width = self.chunk_blocks * self.W
+        all_rows.append(rows + s * self.R)
+        all_pos.append(pos + d * self.shard_width + c * chunk_width)
 
     def _decode_step(self, vecs, d: int, s: int, S: int,
                      all_rows: list, all_pos: list) -> None:

@@ -17,7 +17,7 @@ from typing import Dict
 
 _KNOBS = ("HAVAC_FUSE", "HAVAC_DONATE", "HAVAC_SLICE_PULL",
           "HAVAC_LOOKAHEAD", "HAVAC_TILE_BUDGET_GB", "HAVAC_PULL_BATCH",
-          "HAVAC_DRAIN_BANDS", "HAVAC_NATIVE_BUILD")
+          "HAVAC_DRAIN_BANDS", "HAVAC_MESH_PULL_BATCH", "HAVAC_NATIVE_BUILD")
 
 
 def provenance(require_native: bool = False) -> Dict:

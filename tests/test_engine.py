@@ -817,6 +817,74 @@ def test_swar_pipelined_pull_batch_overflow_redispatch(monkeypatch):
     assert_hits_equal(want.hits(), got.hits())
 
 
+def test_swar_pipelined_rec_pack_knob_is_exact(monkeypatch):
+    """HAVAC_REC_PACK (delta16 record wire layout of the batched flow:
+    words + 16-bit idx deltas two-per-int32 + bounded escape list, the
+    round-5 default) must produce hits identical to the legacy interleaved
+    (idx, word) pairs (HAVAC_REC_PACK=0), across batch sizes that seal
+    mid-run, at a dense p-value so chunks carry many records."""
+    models, records = generate_planted_fixture(
+        seed=73, model_length=32, sequence_length=9000, num_models=2)
+    db = load_fasta_database(fasta_text(records), pad_multiple=3072,
+                             is_text=True)
+
+    def run():
+        e = Havac(p_value=0.3, config=SWAR_CFG, backend="pallas_interpret",
+                  chunk_symbols=6144, chunk_rows=60)
+        e.load_phmm(models).load_sequence(db).run()
+        return e
+
+    monkeypatch.setenv("HAVAC_PULL_BATCH", "2")
+    packed = run()
+    assert packed.stats.num_raw_hits > 300
+    monkeypatch.setenv("HAVAC_REC_PACK", "0")
+    legacy = run()
+    assert_hits_equal(packed.hits(), legacy.hits())
+    assert_hits_equal(packed.hits(), oracle_resolved(packed))
+
+
+def test_compact_packed16_roundtrip_with_escapes():
+    """_compact_tiles_packed16 → unpack_delta16 must reconstruct the exact
+    (idx, word) records of _compact_tiles_split, including records whose
+    idx gap exceeds the 16-bit delta field (forced by planting hits in
+    widely separated tiles)."""
+    import jax.numpy as jnp
+
+    from havac_tpu.engine.pipeline import (_compact_tiles_packed16,
+                                           _compact_tiles_split,
+                                           unpack_delta16)
+
+    rng = np.random.default_rng(5)
+    maxt, WS = 600, 16  # idx range 600·16·128 = 1,228,800 >> 0xFFFF
+    tiles = np.zeros((maxt, WS, 128), dtype=np.int32)
+    cnts = np.zeros((maxt, 8, 128), dtype=np.int32)
+    C = WS // 8
+    count = 550
+    for slot in rng.choice(count, size=40, replace=False):
+        i, g, lane = rng.integers(8), rng.integers(C), rng.integers(128)
+        tiles[slot, i * C + g, lane] = int(rng.integers(1, 1 << 30))
+        cnts[slot, i, g] += 0  # recomputed below
+    nz = (tiles.reshape(maxt, 8, C, 128) != 0).sum(axis=3)
+    cnts[:, :, :C] = nz
+    ometa = np.arange(maxt, dtype=np.int32)
+    cap = 64
+    args = (jnp.asarray(tiles), jnp.asarray(cnts), jnp.asarray(ometa),
+            jnp.asarray(np.int32(count)))
+    hdr_s, rec_s = _compact_tiles_split(*args, cap=cap)
+    hdr_p, words_p, dpk, escv = _compact_tiles_packed16(*args, cap=cap)
+    n = int(hdr_s[0])
+    assert n > 0 and int(hdr_p[0]) == n
+    n_esc = int(hdr_p[2])
+    assert n_esc > 0, "fixture must force 16-bit escapes"
+    seg = np.concatenate([np.asarray(words_p)[:n],
+                          np.asarray(dpk)[:(n + 1) // 2],
+                          np.asarray(escv)[:n_esc]])
+    idx, words = unpack_delta16(seg, n, n_esc)
+    pairs = np.asarray(rec_s)[:2 * n]
+    np.testing.assert_array_equal(idx, pairs[0::2].astype(np.int64))
+    np.testing.assert_array_equal(words, pairs[1::2])
+
+
 def test_swar_pipelined_dense_iota_header_path():
     """A hit-saturated workload (permissive p-value) drives chunks into the
     batched drain's dense fast path (count == ntiles: slots in grid order,

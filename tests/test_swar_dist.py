@@ -208,6 +208,56 @@ def test_swar_dist_checkpoint_resume():
     np.testing.assert_array_equal(pos, want.hit_positions)
 
 
+def test_swar_dist_pull_batch_knob_is_exact(monkeypatch):
+    """HAVAC_MESH_PULL_BATCH (device-side record accumulation, default 8 —
+    the round-5 port of the pipelined engine's batched pull discipline)
+    must produce hits identical to legacy per-step pulls (0) at batch sizes
+    that seal mid-run (2) and never fill (64, one partial drain)."""
+    rng = np.random.default_rng(31)
+    codes = rng.integers(0, 4, size=4 * 3072 * 4).astype(np.uint8)
+    scores = rng.integers(-40, 110, size=(300, 4)).astype(np.int8)  # T = 13
+
+    def run(kb):
+        monkeypatch.setenv("HAVAC_MESH_PULL_BATCH", kb)
+        sweep = sweep_for(codes, 4)
+        assert sweep._pull_batch == int(kb)
+        return sweep.run(scores)
+
+    rows0, pos0 = run("0")
+    want, _ = ssv_reference(codes, scores)
+    assert len(want.hit_rows) > 0
+    np.testing.assert_array_equal(rows0, want.hit_rows)
+    np.testing.assert_array_equal(pos0, want.hit_positions)
+    for kb in ("2", "64"):
+        rows, pos = run(kb)
+        np.testing.assert_array_equal(rows, want.hit_rows)
+        np.testing.assert_array_equal(pos, want.hit_positions)
+    # legacy interleaved-pair wire layout inside the batched flow
+    monkeypatch.setenv("HAVAC_REC_PACK", "0")
+    rows, pos = run("2")
+    np.testing.assert_array_equal(rows, want.hit_rows)
+    np.testing.assert_array_equal(pos, want.hit_positions)
+
+
+def test_swar_dist_batched_cap_retry_and_col_chunks(monkeypatch):
+    """Batched mesh pulls with a record cap that must grow (overflowed
+    chunks truncate in the slab; the replicated header check restarts the
+    sweep) AND column chunking (CC > 1: several appends per step)."""
+    monkeypatch.setenv("HAVAC_MESH_PULL_BATCH", "2")
+    codes = np.zeros(4 * 3072, dtype=np.uint8)
+    scores = np.full((60, 4), 127, dtype=np.int8)  # hits everywhere
+    sweep = SwarDistributedSweep(codes, mesh(2), block_width=3072,
+                                 rows_per_step=30, record_cap=16,
+                                 tile_budget_bytes=3 * 1024 * 4 * 3,
+                                 interpret=True)
+    assert sweep.col_chunks > 1
+    rows, pos = sweep.run(scores)
+    want, _ = ssv_reference(codes, scores)
+    np.testing.assert_array_equal(rows, want.hit_rows)
+    np.testing.assert_array_equal(pos, want.hit_positions)
+    assert sweep.record_cap > 16
+
+
 def test_swar_dist_phase_attribution():
     """The mesh path reports per-phase timings like the pipelined path
     (VERDICT r2 weak #4)."""
