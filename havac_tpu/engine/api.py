@@ -116,9 +116,15 @@ class Havac:
     Single-chip runs route to the pipelined path (`engine/pipeline.py`);
     passing ``mesh=`` selects the wavefront mesh paths. The default is a
     measurement, not a guess: raced on the same dense 150k workload the
-    pipelined path wins ~10× on this rig (warm 20.8 s vs 201.7 s mesh-step —
-    the mesh path pulls full bitmaps and dispatches per step, both taxed by
-    the tunnel; `benchmarks/race_paths_v5e.json`, tools/race_paths.py).
+    round-4 mesh-step path lost ~10× on this rig (warm 20.8 s vs 201.7 s) —
+    NOT because of bitmap pulls (records compact on device since round 3)
+    but because it pulled a cap-sized packed record vector per wavefront
+    step per shard plus one tunnel dispatch per step
+    (`benchmarks/race_paths_v5e.json` phases: 137–145 s of the 200 s run
+    was `pull`). Round 5 ported the pipelined path's batched pull
+    discipline to the mesh path (HAVAC_MESH_PULL_BATCH, delta16 wire);
+    the single-chip default remains the pipelined path, re-raced in
+    `benchmarks/race_paths_r5_v5e.json`.
     """
 
     def __init__(

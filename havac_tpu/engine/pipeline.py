@@ -853,9 +853,14 @@ class PipelinedSweep:
         chunk_blocks = min(max(1, chunk_symbols // self.W), blocks_cap)
         self.chunk = chunk_blocks * self.W
         self.n_col = max(1, -(-self.L // self.chunk))
-        if self._pull_batch < 0:  # AUTO: size from the chunk count
-            n_chunks = self.n_col * self.n_row
-            self._pull_batch = 16 if n_chunks > 96 else 24
+        if self._pull_batch < 0:  # AUTO
+            # 24 across the board: the round-4 interleaved A/Bs picked 16
+            # at >96 chunks, but with the round-5 bands=1 + delta16 wire
+            # the per-batch pulls got cheap enough that 24 wins at 171
+            # chunks too (21.5 s vs 22.7, warm-min interleaved,
+            # benchmarks/gatesweep150k_r5_v5e.json) as it already did at 56
+            # chunks (gatesweep50k_v5e.json).
+            self._pull_batch = 24
         # Geometry is now fixed: adopt the cap another sweep of this chunk
         # shape already converged (per-chunk record density scales with the
         # chunk's cell count, so hints only transfer within a geometry).

@@ -762,11 +762,11 @@ def test_swar_pipelined_pull_batch_knob_is_exact(monkeypatch):
         return e
 
     default = run()
-    # AUTO pull batch: 24 at small chunk counts, 16 above 96 chunks
-    # (interleaved gatesweep A/Bs; see PipelinedSweep.__init__).
+    # AUTO pull batch: 24 across the board since the round-5 bands=1 +
+    # delta16 wire made per-batch pulls cheap (interleaved gatesweep A/Bs;
+    # see PipelinedSweep.__init__).
     geom = default.stats.chunk_geometry
-    n_chunks = geom["n_col"] * geom["n_row"]
-    assert geom["pull_batch"] == (16 if n_chunks > 96 else 24)
+    assert geom["pull_batch"] == 24
     assert default.stats.num_chunks > 2  # partial batch at the end
     monkeypatch.setenv("HAVAC_PULL_BATCH", "0")
     legacy = run()
