@@ -327,9 +327,16 @@ class Havac:
         def resolve_fn(rows, pos):
             return resolve_block_with_keys(rows, pos, db, prefix)
 
+        # Raw tables alongside the callback: with the native core built the
+        # sweep runs the fused key-form hit path (chunk records → sorted
+        # uint64 keys → int32 resolved columns in one native pass per chunk)
+        # and only falls back to resolve_fn when it can't.
+        tables = (np.asarray(db.starts, dtype=np.int64),
+                  np.asarray(db.lengths, dtype=np.int64),
+                  np.asarray(prefix, dtype=np.int64))
         return PipelinedSweep(codes, self.scores, cfg, self.chunk_symbols,
                               self.chunk_rows, reset_rows=self.reset_rows,
-                              resolve_fn=resolve_fn)
+                              resolve_fn=resolve_fn, resolve_tables=tables)
 
     def scan_files(self, fasta_paths: Sequence[str], prefetch: int = 1):
         """Streaming scan over many FASTA files (BASELINE config 5).
@@ -475,6 +482,25 @@ class Havac:
         if self._hit_rows is not None:
             return
         parts = self._raw_parts or []
+        if parts and parts[0][1] is None:
+            # Key-form parts (uint64 composite keys, round 5): split back to
+            # int64 (rows, positions) once, threaded native when built.
+            keys = [k for k, _ in parts if k.size]
+            allk = (np.concatenate(keys) if keys
+                    else np.empty(0, dtype=np.uint64))
+            pair = None
+            try:
+                from havac_tpu import native
+
+                pair = native.keys_to_pairs_native(allk)
+            except Exception:  # pragma: no cover - lib vanished mid-run
+                pass
+            if pair is None:
+                pair = ((allk >> np.uint64(38)).astype(np.int64),
+                        (allk & np.uint64((1 << 38) - 1)).astype(np.int64))
+            self._hit_rows, self._hit_positions = pair
+            self._raw_parts = None
+            return
         rows = [r for r, _ in parts if r.size]
         pos = [p for _, p in parts if p.size]
         self._hit_rows = (np.concatenate(rows) if rows

@@ -603,23 +603,43 @@ def _merge_group_into(parts, cols, lo: int, hi: int, nthreads: int = 1):
     krows = [r for _, r, _ in parts if r.size]
     if not krows:
         return
-    rows = np.concatenate(krows)
-    pos = np.concatenate([p for _, _, p in parts if p.size])
     try:
         from havac_tpu import native
     except Exception:  # pragma: no cover
         native = None
-    order = _runs_order(rows, pos, [r.size for r in krows],
-                        nthreads=nthreads)
+    keyform = parts[0][2] is None  # key-form: (ResolvedHits, keys u64, None)
+    if keyform:
+        keys = np.concatenate(krows)
+        if len(krows) <= 1:
+            order = None
+        else:
+            offs = np.cumsum([0] + [r.size for r in krows])
+            order = (native.merge_runs_u64_native(keys, offs,
+                                                  nthreads=nthreads)
+                     if native else None)
+            if order is None:
+                order = np.argsort(keys, kind="stable")
+    else:
+        rows = np.concatenate(krows)
+        pos = np.concatenate([p for _, _, p in parts if p.size])
+        order = _runs_order(rows, pos, [r.size for r in krows],
+                            nthreads=nthreads)
     for f, out_col in zip(_RESOLVED_FIELDS, cols):
         col = np.concatenate([np.ascontiguousarray(getattr(t, f))
                               for t, _, _ in parts if len(t)])
         if order is None:  # single already-sorted run: straight copy
             out_col[lo:hi] = col
             continue
-        done = (native.permute_i64_native(col, order, out=out_col[lo:hi],
-                                          nthreads=nthreads)
-                if native else None)
+        if native is not None:
+            done = (native.permute_i32_native(col, order,
+                                              out=out_col[lo:hi],
+                                              nthreads=nthreads)
+                    if col.dtype == np.int32
+                    else native.permute_i64_native(col, order,
+                                                   out=out_col[lo:hi],
+                                                   nthreads=nthreads))
+        else:
+            done = None
         if done is None:
             out_col[lo:hi] = col[order]
 
@@ -643,7 +663,11 @@ def _concat_resolved(results, n_row, pool):
     total = sum(sizes)
     if not total:
         return ResolvedHits(*(np.empty(0, dtype=np.int64),) * 4)
-    cols = [np.empty(total, dtype=np.int64) for _ in _RESOLVED_FIELDS]
+    # Key-form parts carry int32 resolved columns; allocate to match (the
+    # group merges write their slices in place, so dtypes must agree).
+    dt = next(t.sequence_index.dtype for g in groups for t, _, _ in g
+              if len(t))
+    cols = [np.empty(total, dtype=dt) for _ in _RESOLVED_FIELDS]
     offs = np.cumsum([0] + sizes)
     nt = max(1, 8 // max(1, sum(1 for g in groups if g)))
     futs = [pool.submit(_merge_group_into, g, cols, offs[i], offs[i + 1], nt)
@@ -659,7 +683,7 @@ class PipelinedSweep:
     def __init__(self, codes: np.ndarray, scores: np.ndarray,
                  config: SsvKernelConfig, chunk_symbols: int,
                  chunk_rows: int, reset_rows: np.ndarray = None,
-                 resolve_fn=None) -> None:
+                 resolve_fn=None, resolve_tables=None) -> None:
         import jax
         import jax.numpy as jnp
 
@@ -709,6 +733,34 @@ class PipelinedSweep:
         # -> (ResolvedHits, kept_rows, kept_pos). None = caller resolves
         # after the run (serial tail).
         self._resolve_fn = resolve_fn
+        # Key-form hit path (round 5): when the native core is built and the
+        # caller supplies the raw resolution tables, each chunk's hits run
+        # one fused native pass — records → bounds filter → SORTED global
+        # uint64 keys ((row << 38) | pos) → int32 resolved columns — instead
+        # of the decode/keep/resolve numpy chain. Per-hit state drops from
+        # ~48 B across three passes to 8 B + 16 B across one; at genomic
+        # density the host side was 2× the device sweep (runtime_table_r5_
+        # genomic.json: decode 29 s + resolve 27 s + tail 13 s vs 28 s of
+        # device). HAVAC_KEYFORM=0 is the exactness A/B knob.
+        self._resolve_tables = resolve_tables
+        self._keyform = False
+        self._native = None
+        if (resolve_tables is not None and config.packing == 3
+                and os.environ.get("HAVAC_KEYFORM", "1") != "0"):
+            try:
+                from havac_tpu import native as _native
+
+                lib = _native._load()
+                starts, lengths, _prefix = resolve_tables
+                if (lib is not None and hasattr(lib, "hv_chunk_keys")
+                        and self.P < (1 << 25)
+                        and int(codes.shape[0]) < (1 << 38)
+                        and (lengths.size == 0
+                             or int(lengths.max()) < (1 << 31))):
+                    self._keyform = True
+                    self._native = _native
+            except Exception:  # pragma: no cover - fall back to legacy path
+                pass
         import threading as _threading
 
         self._prof_lock = _threading.Lock()  # decode accrues from workers
@@ -1161,12 +1213,19 @@ class PipelinedSweep:
         r0 = ri * self.rchunk
         Pc = min(self.P, r0 + self.rchunk) - r0
         if n == 0:
+            if self._keyform:
+                return self._finish_chunk_keys(
+                    np.empty(0, np.int64), np.empty(0, np.int32), None, ri,
+                    lo, Lc, t_decode)
             return self._finish_chunk(ri, np.empty(0, dtype=np.int64),
                                       np.empty(0, dtype=np.int64), t_decode)
         mt = packed.shape[0] - 1 - 2 * cap
         ometa_np = packed[1:1 + mt]
         idx = packed[1 + mt:1 + mt + n].astype(np.int64)
         words = packed[1 + mt + cap:1 + mt + cap + n]
+        if self._keyform and self.cfg.packing == 3:
+            return self._finish_chunk_keys(idx, np.ascontiguousarray(words),
+                                           ometa_np, ri, lo, Lc, t_decode)
         slots = idx // self._tile_words
         word_idx = idx % self._tile_words
         ids = ometa_np[slots]
@@ -1203,11 +1262,18 @@ class PipelinedSweep:
         r0 = ri * self.rchunk
         Pc = min(self.P, r0 + self.rchunk) - r0
         if n == 0:
+            if self._keyform:
+                return self._finish_chunk_keys(
+                    np.empty(0, np.int64), np.empty(0, np.int32), None, ri,
+                    lo, Lc, t_decode)
             return self._finish_chunk(ri, np.empty(0, dtype=np.int64),
                                       np.empty(0, dtype=np.int64), t_decode)
         pairs = rec[:2 * n]
         idx = pairs[0::2].astype(np.int64)
         words = np.ascontiguousarray(pairs[1::2])
+        if self._keyform:
+            return self._finish_chunk_keys(idx, words, header[8:], ri, lo,
+                                           Lc, t_decode)
         slots = idx // self._tile_words
         word_idx = idx % self._tile_words
         ids = header[8:][slots]
@@ -1229,10 +1295,17 @@ class PipelinedSweep:
         r0 = ri * self.rchunk
         Pc = min(self.P, r0 + self.rchunk) - r0
         if n == 0:
+            if self._keyform:
+                return self._finish_chunk_keys(
+                    np.empty(0, np.int64), np.empty(0, np.int32), None, ri,
+                    lo, Lc, t_decode)
             return self._finish_chunk(ri, np.empty(0, dtype=np.int64),
                                       np.empty(0, dtype=np.int64), t_decode)
         idx, words = unpack_delta16(seg, n, n_esc)
         words = np.ascontiguousarray(words)
+        if self._keyform:
+            return self._finish_chunk_keys(idx, words, header[8:], ri, lo,
+                                           Lc, t_decode)
         slots = idx // self._tile_words
         word_idx = idx % self._tile_words
         ids = header[8:][slots]
@@ -1244,6 +1317,33 @@ class PipelinedSweep:
         keep = (rows < Pc) & (pos < Lc)
         return self._finish_chunk(ri, rows[keep] + r0, pos[keep] + lo,
                                   t_decode)
+
+    def _finish_chunk_keys(self, idx, words, ometa, ri: int, lo: int,
+                           Lc: int, t_decode: float):
+        """Key-form collector tail (round 5): one fused native pass expands
+        this chunk's records to sorted global uint64 keys (bounds filter
+        applied during expansion), then resolves them to int32 columns.
+        Returns (ri, keys, None, (ResolvedHits, kept_keys, None)) — the
+        ``None`` pos marks the key-form tuple for the tail/checkpoint
+        consumers. nthreads=1: collector-pool worker (see _decode_packed)."""
+        from havac_tpu.hits.decode import ResolvedHits
+
+        r0 = ri * self.rchunk
+        Pc = min(self.P, r0 + self.rchunk) - r0
+        S = self._scores_dev[ri].shape[0]
+        keys = self._native.chunk_keys_native(
+            idx, words, ometa, self._tile_words, S, self.W3, Pc, Lc, r0, lo,
+            nthreads=1)
+        t_resolve = time.perf_counter()
+        starts, lengths, prefix = self._resolve_tables
+        si, sp, mi, mp, kept = self._native.resolve_keys_native(
+            keys, starts, lengths, prefix, nthreads=1)
+        res = (ResolvedHits(si, sp, mi, mp), kept, None)
+        t_end = time.perf_counter()
+        with self._prof_lock:
+            self.prof["decode"] += t_resolve - t_decode
+            self.prof["resolve"] += t_end - t_resolve
+        return ri, keys, None, res
 
     def _finish_chunk(self, ri: int, rows: np.ndarray, pos: np.ndarray,
                       t_decode: float):
@@ -1324,6 +1424,18 @@ class PipelinedSweep:
                 # merges sorted runs; the checkpoint payload interleaves
                 # chunks, so re-sort this group's slice once here.
                 rs, ps = sort_hit_pairs(rs, ps)
+                if self._keyform:
+                    from havac_tpu.hits.decode import ResolvedHits
+
+                    keys = ((rs.astype(np.uint64) << np.uint64(38))
+                            | ps.astype(np.uint64))
+                    starts, lengths, prefix = self._resolve_tables
+                    si, sp, mi, mp, kept = self._native.resolve_keys_native(
+                        keys, starts, lengths, prefix, nthreads=8)
+                    results.append((ri, keys, None,
+                                    (ResolvedHits(si, sp, mi, mp), kept,
+                                     None)))
+                    continue
                 res0 = (self._resolve_fn(rs, ps)
                         if self._resolve_fn is not None else None)
                 results.append((ri, rs, ps, res0))
@@ -1689,7 +1801,21 @@ class PipelinedSweep:
                     futures.clear()
                     carries = np.stack([np.asarray(prev_col_carry[ri])
                                         for ri in range(self.n_row)])
-                    rows_s, pos_s = _concat_results(results, pool)
+                    if self._keyform:
+                        # Key-form tuples carry uint64 keys; the checkpoint
+                        # payload stays int64 (rows, pos) for compatibility
+                        # with resumes under either knob setting.
+                        ks = [k for _, k, _, _ in results if k.size]
+                        allk = (np.concatenate(ks) if ks
+                                else np.empty(0, np.uint64))
+                        pair = self._native.keys_to_pairs_native(allk)
+                        if pair is None:  # pragma: no cover - lib vanished
+                            pair = (allk >> np.uint64(38)).astype(np.int64), \
+                                (allk & np.uint64((1 << 38) - 1)).astype(
+                                    np.int64)
+                        rows_s, pos_s = pair
+                    else:
+                        rows_s, pos_s = _concat_results(results, pool)
                     checkpoint_cb(ci + 1, carries, rows_s, pos_s)
             t_drain = time.perf_counter()
             if cur_batch:

@@ -164,6 +164,25 @@ def _load_locked() -> Optional[ctypes.CDLL]:
     lib.hv_resolve_hits.argtypes = [pi64, pi64, i64, pi64, pi64, i64,
                                     pi64, i64, pi64, pi64, pi64, pi64,
                                     ctypes.c_int]
+    pu64 = ctypes.POINTER(ctypes.c_uint64)
+    pi32 = ctypes.POINTER(ctypes.c_int32)
+    try:  # round-5 fused key-form chunk path; stale builds lack it
+        lib.hv_chunk_count.restype = i64
+        lib.hv_chunk_count.argtypes = [pi64, pu32, i64, pi32, i64, i64,
+                                       i64, i64, i64, ctypes.c_int]
+        lib.hv_chunk_keys.restype = i64
+        lib.hv_chunk_keys.argtypes = [pi64, pu32, i64, pi32, i64, i64, i64,
+                                      i64, i64, i64, i64, pu64, ctypes.c_int]
+        lib.hv_resolve_keys.restype = i64
+        lib.hv_resolve_keys.argtypes = [pu64, i64, pi64, pi64, i64, pi64,
+                                        i64, pi32, pi32, pi32, pi32, pu64,
+                                        ctypes.c_int]
+        lib.hv_merge_runs_u64.argtypes = [pu64, i64, pi64, i64, ctypes.c_int,
+                                          pi64]
+        lib.hv_permute_i32.argtypes = [pi32, pi64, i64, pi32, ctypes.c_int]
+        lib.hv_keys_to_pairs.argtypes = [pu64, i64, pi64, pi64, ctypes.c_int]
+    except AttributeError:  # pragma: no cover - rebuilt on demand
+        pass
     _lib = lib
     return _lib
 
@@ -373,6 +392,117 @@ def permute_i64_native(src, order, out=None, nthreads: int = 8):
     lib.hv_permute_i64(_i64p(src), _i64p(order), order.shape[0], _i64p(out),
                        nthreads)
     return out
+
+
+def _u64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def chunk_keys_native(idx, words, ometa, tile_words: int, num_strips: int,
+                      block_words: int, Pc: int, Lc: int, r0: int, lo: int,
+                      nthreads: int = 1):
+    """Fused chunk decode (round 5): expand SWAR records straight to SORTED
+    global uint64 hit keys ((row + r0) << 38 | (pos + lo)), applying the
+    (row < Pc, pos < Lc) bounds filter during expansion — replaces the
+    decode → numpy-keep → add → per-chunk-sort chain with one pass sized
+    exactly by a popcount prepass. ``ometa`` is the slot → tile-id map
+    (None ⇒ identity, the dense-chunk case). None when unavailable (caller
+    falls back to the legacy path)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hv_chunk_keys"):
+        return None
+    n = int(words.shape[0])
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    w = np.ascontiguousarray(words).view(np.uint32)
+    om = (None if ometa is None
+          else np.ascontiguousarray(ometa, dtype=np.int32))
+    omp = None if om is None else _i32p(om)
+    m1 = lib.hv_chunk_count(_i64p(idx), w.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_uint32)), n, omp, tile_words, num_strips,
+        block_words, Pc, Lc, nthreads)
+    keys = np.empty(m1, dtype=np.uint64)
+    if m1:
+        m = lib.hv_chunk_keys(_i64p(idx), w.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint32)), n, omp, tile_words,
+            num_strips, block_words, Pc, Lc, r0, lo, _u64p(keys), nthreads)
+        assert m == m1
+    return keys
+
+
+def resolve_keys_native(keys, starts, lengths, prefix, nthreads: int = 1):
+    """Resolve SORTED global uint64 hit keys to four int32 local-coordinate
+    columns plus the kept keys (padding/separator hits dropped) — the
+    key-form analog of resolve_hits_native. None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hv_resolve_keys"):
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    prefix = np.ascontiguousarray(prefix, dtype=np.int64)
+    n = keys.shape[0]
+    cols = [np.empty(n, dtype=np.int32) for _ in range(4)]
+    kout = np.empty(n, dtype=np.uint64)
+    m = 0
+    if n:
+        m = lib.hv_resolve_keys(
+            _u64p(keys), n, _i64p(starts), _i64p(lengths),
+            starts.shape[0] - 1, _i64p(prefix), prefix.shape[0] - 1,
+            _i32p(cols[0]), _i32p(cols[1]), _i32p(cols[2]), _i32p(cols[3]),
+            _u64p(kout), nthreads)
+    return tuple(a[:m] for a in cols) + (kout[:m],)
+
+
+def merge_runs_u64_native(keys, offsets, nthreads: int = 4):
+    """Permutation merging k already-sorted runs of uint64 keys; None when
+    unavailable (callers fall back to an argsort)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hv_merge_runs_u64"):
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    offs = np.ascontiguousarray(offsets, dtype=np.int64)
+    order = np.empty(keys.shape[0], dtype=np.int64)
+    lib.hv_merge_runs_u64(_u64p(keys), keys.shape[0], _i64p(offs),
+                          offs.shape[0] - 1, nthreads, _i64p(order))
+    return order
+
+
+def permute_i32_native(src, order, out=None, nthreads: int = 8):
+    """dst[i] = src[order[i]] over int32 columns; None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hv_permute_i32"):
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    if out is None:
+        out = np.empty(order.shape[0], dtype=np.int32)
+    assert (out.dtype == np.int32 and out.flags.c_contiguous
+            and out.shape[0] == order.shape[0])
+    lib.hv_permute_i32(_i32p(src), _i64p(order), order.shape[0], _i32p(out),
+                       nthreads)
+    return out
+
+
+def keys_to_pairs_native(keys, nthreads: int = 8):
+    """uint64 hit keys → int64 (rows, positions); None when unavailable
+    (callers use numpy shifts)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hv_keys_to_pairs"):
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    n = keys.shape[0]
+    rows = np.empty(n, dtype=np.int64)
+    pos = np.empty(n, dtype=np.int64)
+    if n:
+        lib.hv_keys_to_pairs(_u64p(keys), n, _i64p(rows), _i64p(pos),
+                             nthreads)
+    return rows, pos
 
 
 def resolve_hits_native(rows, pos, starts, lengths, prefix,

@@ -679,6 +679,328 @@ void hv_permute_i64(const int64_t* src, const int64_t* order, int64_t n,
 
 }  // extern "C"
 
+// --------------------------------------------- fused per-chunk hit pipeline
+//
+// Round-5 host path: one native pass per chunk replaces the numpy
+// decode → bounds-filter → resolve chain (each a full sweep over 16 B/hit
+// int64 arrays — at genomic density the host side cost ~69 s of the 150k
+// run, more than 2× the device sweep). A hit's raw identity is ONE uint64
+// key ((global_row << 38) | global_pos — the same composite hv_sort_hits
+// keys by), and resolved coordinates are four int32 columns; per-hit state
+// shrinks from ~48 B across three passes to 8 B + 16 B across one. The
+// reference's analog is its on-FPGA bitmap walk + host prefix-sum
+// resolution (`device/HitReporting.cpp`, `host/Havac.cpp:104-187`).
+
+namespace {
+
+constexpr uint64_t kPosMask = (1ull << 38) - 1;
+
+// Shared record-expansion skeleton: calls emit(local_row, local_pos) for
+// every hit bit that passes the (row < Pc, pos < Lc) bounds filter.
+// idx[e] flattens (slot, word) over tile_words; ometa maps slot → tile id
+// (NULL ⇒ identity: dense chunks allocate slots in grid order).
+template <typename Emit>
+inline void expand_records(const int64_t* idx, const uint32_t* words,
+                           int64_t lo_e, int64_t hi_e, const int32_t* ometa,
+                           int64_t tile_words, int64_t num_strips,
+                           int64_t block_words, int64_t Pc, int64_t Lc,
+                           Emit&& emit) {
+  const int64_t W3 = block_words;
+  const int64_t W = 3 * W3;
+  for (int64_t e = lo_e; e < hi_e; e++) {
+    const uint32_t w = words[e] & 0x3FFFFFFFu;
+    if (!w) continue;
+    const int64_t fl = idx[e];
+    const int64_t slot = fl / tile_words;
+    const int64_t word_idx = fl % tile_words;
+    const int64_t id = ometa ? ometa[slot] : slot;
+    const int64_t flush = id % 3;
+    const int64_t bs = id / 3;
+    const int64_t block = bs / num_strips;
+    const int64_t strip = bs % num_strips;
+    const int64_t row_base = strip * 30 + flush * 10;
+    const int64_t pos_base = block * W + word_idx;
+    const int64_t t = Pc - row_base;  // valid rows in this word's 10-row span
+    if (t <= 0) continue;
+    for (int f = 0; f < 3; f++) {
+      uint32_t field = (w >> (10 * f)) & 0x3FF;
+      if (!field) continue;
+      const int64_t p = pos_base + f * W3;
+      if (p >= Lc) continue;
+      if (t < 10) field &= ~((1u << (10 - t)) - 1);  // bit b ⇒ row_base+9−b
+      while (field) {
+        const int bit = 31 - __builtin_clz(field);
+        emit(row_base + (9 - bit), p);
+        field &= ~(1u << bit);
+      }
+    }
+  }
+}
+
+// Parallel ascending sort of a bare uint64 array (slice sorts + pairwise
+// in-place merges, same shape as sort_keyed but with no payload).
+void sort_keys_u64(uint64_t* keys, int64_t n, int nthreads) {
+  if (n <= 1) return;
+  if (nthreads > 1 && n > (1 << 18)) {
+    int t = 1;
+    while (t * 2 <= nthreads) t *= 2;
+    std::vector<int64_t> bounds;
+    for (int i = 0; i <= t; i++) bounds.push_back(n * i / t);
+    std::vector<std::thread> threads;
+    for (int i = 0; i < t; i++)
+      threads.emplace_back([&, i] {
+        std::sort(keys + bounds[static_cast<size_t>(i)],
+                  keys + bounds[static_cast<size_t>(i) + 1]);
+      });
+    for (auto& th : threads) th.join();
+    for (int width = 1; width < t; width *= 2) {
+      std::vector<std::thread> mergers;
+      for (int i = 0; i + width < t; i += 2 * width) {
+        mergers.emplace_back([&, i] {
+          std::inplace_merge(
+              keys + bounds[static_cast<size_t>(i)],
+              keys + bounds[static_cast<size_t>(i + width)],
+              keys + bounds[static_cast<size_t>(std::min(i + 2 * width, t))]);
+        });
+      }
+      for (auto& th : mergers) th.join();
+    }
+  } else {
+    std::sort(keys, keys + n);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Count the hits of one chunk's records that survive the bounds filter —
+// the exact-size allocation pass for hv_chunk_keys (popcount-speed: whole
+// 10-row fields count via __builtin_popcount with a one-mask row clip).
+int64_t hv_chunk_count(const int64_t* idx, const uint32_t* words, int64_t n,
+                       const int32_t* ometa, int64_t tile_words,
+                       int64_t num_strips, int64_t block_words, int64_t Pc,
+                       int64_t Lc, int nthreads) {
+  if (n <= 0) return 0;
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 64) nthreads = 64;
+  if (n < (1 << 14)) nthreads = 1;
+  std::vector<int64_t> counts(static_cast<size_t>(nthreads), 0);
+  std::vector<std::thread> threads;
+  auto work = [&](int t) {
+    const int64_t W3 = block_words;
+    const int64_t W = 3 * W3;
+    const int64_t lo_e = n * t / nthreads, hi_e = n * (t + 1) / nthreads;
+    int64_t c = 0;
+    for (int64_t e = lo_e; e < hi_e; e++) {
+      const uint32_t w = words[e] & 0x3FFFFFFFu;
+      if (!w) continue;
+      const int64_t fl = idx[e];
+      const int64_t slot = fl / tile_words;
+      const int64_t id = ometa ? ometa[slot] : slot;
+      const int64_t flush = id % 3;
+      const int64_t bs = id / 3;
+      const int64_t strip = bs % num_strips;
+      const int64_t row_base = strip * 30 + flush * 10;
+      const int64_t tvr = Pc - row_base;
+      if (tvr <= 0) continue;
+      const uint32_t rmask =
+          tvr < 10 ? ~((1u << (10 - tvr)) - 1) & 0x3FFu : 0x3FFu;
+      const int64_t pos_base = (bs / num_strips) * W + fl % tile_words;
+      for (int f = 0; f < 3; f++) {
+        const uint32_t field = (w >> (10 * f)) & rmask;
+        if (field && pos_base + f * W3 < Lc)
+          c += __builtin_popcount(field);
+      }
+    }
+    counts[static_cast<size_t>(t)] = c;
+  };
+  for (int t = 1; t < nthreads; t++) threads.emplace_back(work, t);
+  work(0);
+  for (auto& th : threads) th.join();
+  int64_t total = 0;
+  for (int64_t c : counts) total += c;
+  return total;
+}
+
+// Expand one chunk's records to SORTED global uint64 hit keys
+// ((row + r0) << 38 | (pos + lo)); keys must hold hv_chunk_count entries.
+// Returns the count written (== hv_chunk_count with the same arguments).
+int64_t hv_chunk_keys(const int64_t* idx, const uint32_t* words, int64_t n,
+                      const int32_t* ometa, int64_t tile_words,
+                      int64_t num_strips, int64_t block_words, int64_t Pc,
+                      int64_t Lc, int64_t r0, int64_t lo, uint64_t* keys,
+                      int nthreads) {
+  if (n <= 0) return 0;
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 64) nthreads = 64;
+  if (n < (1 << 14)) nthreads = 1;
+  std::vector<int64_t> offs(static_cast<size_t>(nthreads) + 1, 0);
+  std::vector<std::thread> threads;
+  auto count_range = [&](int t) {
+    const int64_t lo_e = n * t / nthreads, hi_e = n * (t + 1) / nthreads;
+    int64_t c = 0;
+    expand_records(idx, words, lo_e, hi_e, ometa, tile_words, num_strips,
+                   block_words, Pc, Lc, [&](int64_t, int64_t) { c++; });
+    offs[t + 1] = c;
+  };
+  for (int t = 1; t < nthreads; t++) threads.emplace_back(count_range, t);
+  count_range(0);
+  for (auto& th : threads) th.join();
+  threads.clear();
+  for (int t = 0; t < nthreads; t++) offs[t + 1] += offs[t];
+  auto fill_range = [&](int t) {
+    const int64_t lo_e = n * t / nthreads, hi_e = n * (t + 1) / nthreads;
+    int64_t m = offs[t];
+    expand_records(idx, words, lo_e, hi_e, ometa, tile_words, num_strips,
+                   block_words, Pc, Lc, [&](int64_t row, int64_t p) {
+                     keys[m++] = (static_cast<uint64_t>(row + r0) << 38) |
+                                 static_cast<uint64_t>(p + lo);
+                   });
+  };
+  for (int t = 1; t < nthreads; t++) threads.emplace_back(fill_range, t);
+  fill_range(0);
+  for (auto& th : threads) th.join();
+  const int64_t m = offs[nthreads];
+  sort_keys_u64(keys, m, nthreads);
+  return m;
+}
+
+// Resolve SORTED global hit keys to local coordinates as four int32
+// columns, dropping padding/separator hits (semantics identical to
+// hv_resolve_hits; exploits sortedness with cursor hints — rows are
+// non-decreasing so the model cursor only advances, and consecutive
+// positions cluster within a sequence so the bsearch is usually skipped).
+// keys_out receives the kept keys compacted in order (may alias nothing);
+// all outputs must hold n entries. Returns the kept count.
+int64_t hv_resolve_keys(const uint64_t* keys, int64_t n,
+                        const int64_t* starts, const int64_t* lengths,
+                        int64_t nseq, const int64_t* prefix, int64_t nmodels,
+                        int32_t* seq_idx, int32_t* seq_pos,
+                        int32_t* model_idx, int32_t* model_pos,
+                        uint64_t* keys_out, int nthreads) {
+  if (n <= 0) return 0;
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 64) nthreads = 64;
+  if (n < (1 << 15)) nthreads = 1;
+  const int64_t total_rows = prefix[nmodels];
+  std::vector<int64_t> counts(static_cast<size_t>(nthreads), 0);
+  std::vector<std::thread> threads;
+  auto work = [&](int t) {
+    const int64_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+    int64_t m = lo;
+    int64_t mi = 0;   // model cursor: rows are non-decreasing
+    int64_t si = -1;  // sequence hint: consecutive positions cluster
+    for (int64_t e = lo; e < hi; e++) {
+      const uint64_t key = keys[e];
+      const int64_t row = static_cast<int64_t>(key >> 38);
+      const int64_t gp = static_cast<int64_t>(key & kPosMask);
+      if (row >= total_rows) continue;
+      while (mi + 1 < nmodels && row >= prefix[mi + 1]) mi++;
+      if (si < 0 || gp < starts[si] || gp >= starts[si + 1]) {
+        const int64_t* ub = std::upper_bound(starts, starts + nseq + 1, gp);
+        si = (ub - starts) - 1;
+      }
+      if (si < 0 || si >= nseq) { si = -1; continue; }
+      const int64_t local = gp - starts[si];
+      if (local >= lengths[si]) continue;  // separator / pad
+      seq_idx[m] = static_cast<int32_t>(si);
+      seq_pos[m] = static_cast<int32_t>(local);
+      model_idx[m] = static_cast<int32_t>(mi);
+      model_pos[m] = static_cast<int32_t>(row - prefix[mi]);
+      keys_out[m] = key;
+      m++;
+    }
+    counts[static_cast<size_t>(t)] = m - lo;
+  };
+  for (int t = 0; t < nthreads; t++) threads.emplace_back(work, t);
+  for (auto& th : threads) th.join();
+  int64_t out = counts[0];
+  for (int t = 1; t < nthreads; t++) {
+    const int64_t lo = n * t / nthreads;
+    const int64_t c = counts[static_cast<size_t>(t)];
+    if (lo != out && c) {
+      std::memmove(seq_idx + out, seq_idx + lo, sizeof(int32_t) * c);
+      std::memmove(seq_pos + out, seq_pos + lo, sizeof(int32_t) * c);
+      std::memmove(model_idx + out, model_idx + lo, sizeof(int32_t) * c);
+      std::memmove(model_pos + out, model_pos + lo, sizeof(int32_t) * c);
+      std::memmove(keys_out + out, keys_out + lo, sizeof(uint64_t) * c);
+    }
+    out += c;
+  }
+  return out;
+}
+
+// Permutation that merges k already-sorted runs of uint64 keys — the
+// key-form analog of hv_merge_runs (same pairwise in-place merge plan).
+void hv_merge_runs_u64(const uint64_t* keys, int64_t n, const int64_t* offs,
+                       int64_t k, int nthreads, int64_t* order) {
+  if (n <= 0) return;
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 64) nthreads = 64;
+  std::vector<std::pair<uint64_t, int64_t>> keyed(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; i++)
+    keyed[static_cast<size_t>(i)] = {keys[i], i};
+  std::vector<int64_t> bounds(offs, offs + k + 1);
+  int64_t width = 1;
+  while (width < k) {
+    std::vector<std::thread> mergers;
+    for (int64_t i = 0; i + width < k; i += 2 * width) {
+      auto job = [&, i] {
+        std::inplace_merge(
+            keyed.begin() + bounds[static_cast<size_t>(i)],
+            keyed.begin() + bounds[static_cast<size_t>(i + width)],
+            keyed.begin() + bounds[static_cast<size_t>(
+                std::min(i + 2 * width, k))]);
+      };
+      if (static_cast<int>(mergers.size()) < nthreads - 1)
+        mergers.emplace_back(job);
+      else
+        job();
+    }
+    for (auto& th : mergers) th.join();
+    width *= 2;
+  }
+  for (int64_t i = 0; i < n; i++)
+    order[i] = keyed[static_cast<size_t>(i)].second;
+}
+
+// Threaded 32-bit gather: dst[i] = src[order[i]] (int32 resolved columns).
+void hv_permute_i32(const int32_t* src, const int64_t* order, int64_t n,
+                    int32_t* dst, int nthreads) {
+  if (n <= 0) return;
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 64) nthreads = 64;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; t++)
+    threads.emplace_back([&, t] {
+      const int64_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+      for (int64_t i = lo; i < hi; i++) dst[i] = src[order[i]];
+    });
+  for (auto& th : threads) th.join();
+}
+
+// Split uint64 hit keys back to int64 (row, pos) pairs — the lazy
+// raw_hits() materialization.
+void hv_keys_to_pairs(const uint64_t* keys, int64_t n, int64_t* rows,
+                      int64_t* pos, int nthreads) {
+  if (n <= 0) return;
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 64) nthreads = 64;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; t++)
+    threads.emplace_back([&, t] {
+      const int64_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+      for (int64_t i = lo; i < hi; i++) {
+        rows[i] = static_cast<int64_t>(keys[i] >> 38);
+        pos[i] = static_cast<int64_t>(keys[i] & kPosMask);
+      }
+    });
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"
+
 // ------------------------------------------------------- ASan self-test main
 //
 // Built by `make debug` with -fsanitize=address (the reference ships an ASan

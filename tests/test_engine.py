@@ -843,6 +843,73 @@ def test_swar_pipelined_rec_pack_knob_is_exact(monkeypatch):
     assert_hits_equal(packed.hits(), oracle_resolved(packed))
 
 
+def test_swar_pipelined_keyform_knob_is_exact(monkeypatch, tmp_path):
+    """HAVAC_KEYFORM (round 5: the fused native chunk-hit path — records →
+    sorted uint64 keys → int32 resolved columns in one native pass) must
+    produce hits, raw hits, and stats identical to the legacy numpy
+    decode/keep/resolve chain (HAVAC_KEYFORM=0), at a dense p-value, and a
+    checkpoint written under one form must resume exactly under the other."""
+    from havac_tpu import native
+
+    if not native.available():  # pragma: no cover - toolchain-less host
+        import pytest
+
+        pytest.skip("native core unavailable")
+    models, records = generate_planted_fixture(
+        seed=79, model_length=32, sequence_length=9000, num_models=2)
+    db = load_fasta_database(fasta_text(records), pad_multiple=3072,
+                             is_text=True)
+
+    def run(**kw):
+        e = Havac(p_value=0.3, config=SWAR_CFG, backend="pallas_interpret",
+                  chunk_symbols=6144, chunk_rows=60, **kw)
+        e.load_phmm(models).load_sequence(db).run()
+        return e
+
+    keyed = run()
+    assert keyed.stats.num_raw_hits > 300
+    probe = Havac(p_value=0.3, config=SWAR_CFG, backend="pallas_interpret",
+                  chunk_symbols=6144, chunk_rows=60)
+    probe.load_phmm(models).load_sequence(db)
+    assert probe._build_pipelined_sweep()._keyform  # the path under test ran
+    monkeypatch.setenv("HAVAC_KEYFORM", "0")
+    legacy = run()
+    monkeypatch.delenv("HAVAC_KEYFORM")
+    assert_hits_equal(keyed.hits(), legacy.hits())
+    assert_hits_equal(keyed.hits(), oracle_resolved(keyed))
+    kr, kp = keyed.raw_hits()
+    lr, lp = legacy.raw_hits()
+    np.testing.assert_array_equal(kr, lr)
+    np.testing.assert_array_equal(kp, lp)
+    assert keyed.stats.num_raw_hits == legacy.stats.num_raw_hits
+    # int32 columns on the key-form path (the point of the redesign);
+    # int64 on the legacy path.
+    assert keyed.hits().sequence_index.dtype == np.int32
+    assert legacy.hits().sequence_index.dtype == np.int64
+
+    # Checkpoint written by the LEGACY form resumes under the key form
+    # (payloads are int64 (rows, pos) regardless of knob).
+    import os as _os
+    import time as _time
+
+    ckpt = str(tmp_path / "kf.npz")
+    monkeypatch.setenv("HAVAC_KEYFORM", "0")
+    partial = Havac(p_value=0.3, config=SWAR_CFG,
+                    backend="pallas_interpret", chunk_symbols=6144,
+                    chunk_rows=60, checkpoint_path=ckpt)
+    partial.load_phmm(models).load_sequence(db)
+    partial.run_async()
+    for _ in range(4000):
+        if _os.path.exists(ckpt):
+            break
+        _time.sleep(0.005)
+    partial.abort()
+    partial.wait()
+    monkeypatch.delenv("HAVAC_KEYFORM")
+    resumed = run(checkpoint_path=ckpt)
+    assert_hits_equal(keyed.hits(), resumed.hits())
+
+
 def test_compact_packed16_roundtrip_with_escapes():
     """_compact_tiles_packed16 → unpack_delta16 must reconstruct the exact
     (idx, word) records of _compact_tiles_split, including records whose
