@@ -147,12 +147,14 @@ class Havac:
     ) -> None:
         self.p_value = float(p_value)
         self.backend = _pick_backend(backend)
+        self._config_defaulted = config is None
         if config is None:
             # SWAR (3 cells/lane) is the fastest TPU kernel; unpacked
             # elsewhere (interpret mode favors the simpler kernel).
             config = (SsvKernelConfig.swar()
                       if self.backend == "pallas" else SsvKernelConfig())
         self.config = config
+        self.alphabet = "dna"  # set by load_phmm from the models
         # Chunks must cut on kernel-block boundaries for carry chaining
         # (ssv_pallas chunk-chaining contract).
         self.chunk_symbols = round_up(max(chunk_symbols, self.config.block_width),
@@ -238,16 +240,52 @@ class Havac:
             models = list(src)
         if not models:
             raise HavacUsageError("no models to load")
-        # Nucleotide-only scope, like the reference (`README.md:2`): the
-        # kernels assume 4 score columns per position, so reject amino (or
-        # any non-4-symbol) models here with a clear error instead of an
-        # opaque downstream shape failure.
-        for m in models:
-            if m.alphabet_cardinality != 4:
+        # The reference is nucleotide-only (`README.md:2`); round 5 extends
+        # the SWAR kernel to amino models (20 symbols in the 10-bit fields,
+        # 19 indicator planes — ssv_swar card parameter). One collection must
+        # be one alphabet, and amino requires the SWAR kernel (packing 3) on
+        # the single-chip engine.
+        cards = {m.alphabet_cardinality for m in models}
+        if len(cards) > 1:
+            raise HavacUsageError(
+                f"mixed alphabets in one collection: cardinalities {sorted(cards)}")
+        card = cards.pop()
+        if card == 20:
+            if self.mesh is not None:
                 raise HavacUsageError(
-                    f"model {m.name!r} uses alphabet {m.alphabet!r} "
-                    f"(cardinality {m.alphabet_cardinality}); HAVAC-style SSV "
-                    "is nucleotide-only (dna/rna, 4 symbols)")
+                    "amino models are supported on the single-chip engine "
+                    "only (the mesh wavefront paths are nucleotide-only)")
+            if self.strand == "both":
+                raise HavacUsageError(
+                    "strand='both' (reverse complement) is meaningless for "
+                    "amino sequences")
+            if self._config_defaulted and self.config.packing != 3:
+                # The defaulted unpacked config (interpret backends) cannot
+                # run amino; switch to the SWAR geometry sized so the 19
+                # indicator planes fit VMEM (19 x WS x 128 x 4 B = 5 MB at
+                # block_width 196608 against the ~16 MB/core budget).
+                self.config = dataclasses.replace(
+                    SsvKernelConfig.swar(), block_width=196608,
+                    interpret=self.config.interpret)
+            elif (self._config_defaulted
+                  and self.config.block_width > 196608):
+                self.config = dataclasses.replace(
+                    self.config, block_width=196608)
+            if self.config.packing != 3 and self.backend != "xla":
+                raise HavacUsageError(
+                    "amino models require the SWAR kernel (packing=3) or "
+                    "the xla backend")
+            # Re-cut chunks on the (possibly new) block boundary.
+            self.chunk_symbols = round_up(
+                max(self.chunk_symbols, self.config.block_width),
+                self.config.block_width)
+            self.alphabet = "amino"
+        elif card != 4:
+            raise HavacUsageError(
+                f"model {models[0].name!r} has alphabet cardinality {card}; "
+                "supported: 4 (dna/rna) and 20 (amino)")
+        else:
+            self.alphabet = "dna"
         self.models = models
         self.scores = project_models(models, self.p_value)
         self.phmm_prefix = model_length_prefix_sums(models)
@@ -268,7 +306,12 @@ class Havac:
         else:
             self.database = load_fasta_database(
                 src, pad_multiple=self.config.block_width, seed=self.seed,
-                is_text=is_text)
+                is_text=is_text, alphabet=self.alphabet)
+        if getattr(self.database, "alphabet", "dna") != self.alphabet:
+            raise HavacUsageError(
+                f"database alphabet {self.database.alphabet!r} does not "
+                f"match the loaded models ({self.alphabet!r}); call "
+                "load_phmm before load_sequence so the encoder matches")
         if self.strand == "both":
             from havac_tpu.io.fasta import augment_with_reverse_complement
 

@@ -947,12 +947,13 @@ class PipelinedSweep:
         for ri in range(self.n_row):
             r0, r1 = ri * self.rchunk, min(self.P, (ri + 1) * self.rchunk)
             Pc = max(0, r1 - r0)
-            sc = np.full((self.rchunk, 4), -128, dtype=np.int32)
+            card = scores.shape[1]
+            sc = np.full((self.rchunk, card), -128, dtype=np.int32)
             sc[:Pc] = scores[r0:r1].astype(np.int32)
             if config.packing == 3:
                 sc = sc + 256  # SWAR kernel takes biased scores
             self._scores_dev.append(jnp.asarray(sc.reshape(
-                self.rchunk // self.K, self.K, 4)))
+                self.rchunk // self.K, self.K, card)))
             if self._isolate:
                 rr = np.zeros(self.rchunk, dtype=np.int32)
                 rr[:Pc] = np.asarray(reset_rows[r0:r1], dtype=np.int32)

@@ -51,6 +51,32 @@ for _i, _ch in enumerate(_TWO_WAY_ORDER):
     _ENCODE_TABLE[ord(_ch.upper())] = 4 + _i
 _TWO_WAY_OPTIONS = np.array([_TWO_WAY[c] for c in _TWO_WAY_ORDER], dtype=np.uint8)
 
+# Amino-acid alphabet (capability beyond the nucleotide-only reference,
+# `README.md:2`): canonical residues in HMMER column order (alphabetical),
+# selenocysteine U→C and pyrrolysine O→K direct, two-way ambiguities
+# B→{D,N}, Z→{E,Q}, J→{I,L}, everything else (X, *, gaps) uniform over 20 —
+# the same position-keyed-hash resolution scheme as the nucleotide table.
+AMINO_ORDER = "ACDEFGHIKLMNPQRSTVWY"
+_AMINO_TWO_WAY_ORDER = "bzj"
+_AMINO_TWO_WAY = {
+    "b": (AMINO_ORDER.index("D"), AMINO_ORDER.index("N")),
+    "z": (AMINO_ORDER.index("E"), AMINO_ORDER.index("Q")),
+    "j": (AMINO_ORDER.index("I"), AMINO_ORDER.index("L")),
+}
+_AMINO_TABLE = np.full(256, 23, dtype=np.uint8)  # 20-22 two-way, 23 uniform
+for _i, _ch in enumerate(AMINO_ORDER):
+    _AMINO_TABLE[ord(_ch)] = _i
+    _AMINO_TABLE[ord(_ch.lower())] = _i
+for _ch, _code in (("u", AMINO_ORDER.index("C")),
+                   ("o", AMINO_ORDER.index("K"))):
+    _AMINO_TABLE[ord(_ch)] = _code
+    _AMINO_TABLE[ord(_ch.upper())] = _code
+for _i, _ch in enumerate(_AMINO_TWO_WAY_ORDER):
+    _AMINO_TABLE[ord(_ch)] = 20 + _i
+    _AMINO_TABLE[ord(_ch.upper())] = 20 + _i
+_AMINO_TWO_WAY_OPTIONS = np.array(
+    [_AMINO_TWO_WAY[c] for c in _AMINO_TWO_WAY_ORDER], dtype=np.uint8)
+
 
 @dataclass
 class SequenceDatabase:
@@ -69,6 +95,7 @@ class SequenceDatabase:
     lengths: np.ndarray
     names: List[str]
     seed: int
+    alphabet: str = "dna"  # "dna" (codes 0..3) or "amino" (codes 0..19)
 
     @property
     def num_sequences(self) -> int:
@@ -141,6 +168,7 @@ def encode_database(
     sequences: Sequence[bytes],
     pad_multiple: int = 1,
     seed: int = 0x5A5A,
+    alphabet: str = "dna",
 ) -> SequenceDatabase:
     """Encode and concatenate sequences into a :class:`SequenceDatabase`.
 
@@ -148,6 +176,11 @@ def encode_database(
     is a multiple of ``pad_multiple`` (the reference pads to its 12,288-wide
     segment, `SequencePreprocessor.cpp:13-17`; our pad width is a kernel block
     parameter). SEP/PAD symbols come from the position-keyed hash.
+
+    ``alphabet="amino"`` encodes 20-symbol protein residues (codes 0..19,
+    HMMER column order) with the same deterministic ambiguity scheme; the
+    nucleotide path is byte-for-byte unchanged (its hashes must agree with
+    the native C++ encoder).
     """
     lengths = np.fromiter((len(s) for s in sequences), dtype=np.int64, count=len(sequences))
     starts = np.concatenate([[0], np.cumsum(lengths + 1)])
@@ -159,22 +192,33 @@ def encode_database(
         arr = np.frombuffer(seq, dtype=np.uint8)
         raw[starts[i] : starts[i] + lengths[i]] = arr
 
-    classes = _ENCODE_TABLE[raw]
-    codes = np.where(classes < 4, classes, 0).astype(np.uint8)
+    if alphabet == "amino":
+        table, card, uni_cls, tw_base = _AMINO_TABLE, 20, 23, 20
+        tw_options = _AMINO_TWO_WAY_OPTIONS
+    elif alphabet == "dna":
+        table, card, uni_cls, tw_base = _ENCODE_TABLE, 4, 10, 4
+        tw_options = _TWO_WAY_OPTIONS
+    else:
+        raise ValueError(f"unknown alphabet {alphabet!r}")
+    classes = table[raw]
+    codes = np.where(classes < card, classes, 0).astype(np.uint8)
 
-    needs_random = classes >= 4
+    needs_random = classes >= card
     if np.any(needs_random):
         positions = np.nonzero(needs_random)[0]
         cls = classes[positions]
-        two_way = cls < 10
+        two_way = cls < uni_cls
         if np.any(two_way):
             bits = hash_u64(positions[two_way].astype(np.uint64), seed) & np.uint64(1)
-            pair_idx = (cls[two_way] - 4).astype(np.int64)
-            codes[positions[two_way]] = _TWO_WAY_OPTIONS[pair_idx, bits.astype(np.int64)]
+            pair_idx = (cls[two_way] - tw_base).astype(np.int64)
+            codes[positions[two_way]] = tw_options[pair_idx, bits.astype(np.int64)]
         uniform = ~two_way
         if np.any(uniform):
-            bits2 = hash_u64(positions[uniform].astype(np.uint64), seed) & np.uint64(3)
-            codes[positions[uniform]] = bits2.astype(np.uint8)
+            h = hash_u64(positions[uniform].astype(np.uint64), seed)
+            if card == 4:  # keep the exact legacy bit extraction (native parity)
+                codes[positions[uniform]] = (h & np.uint64(3)).astype(np.uint8)
+            else:
+                codes[positions[uniform]] = (h % np.uint64(card)).astype(np.uint8)
 
     return SequenceDatabase(
         codes=codes,
@@ -182,6 +226,7 @@ def encode_database(
         lengths=lengths,
         names=list(names),
         seed=seed,
+        alphabet=alphabet,
     )
 
 
@@ -191,11 +236,14 @@ def load_fasta_database(
     seed: int = 0x5A5A,
     is_text: bool = False,
     native: str = "auto",
+    alphabet: str = "dna",
 ) -> SequenceDatabase:
     """Load + encode a database. ``native``: "auto" uses the C++ parser
     (havac_tpu/native) when built, "never"/"always" force a path; both
-    produce byte-identical databases."""
-    if isinstance(path_or_text, str) and not is_text and native != "never":
+    produce byte-identical databases. Amino databases (``alphabet="amino"``)
+    encode on the Python path (the native encoder is nucleotide-only)."""
+    if (isinstance(path_or_text, str) and not is_text and native != "never"
+            and alphabet == "dna"):
         from havac_tpu import native as native_mod
 
         if native_mod.available():
@@ -213,7 +261,8 @@ def load_fasta_database(
         names, seqs = parse_fasta_text(path_or_text)
     else:
         names, seqs = read_fasta(path_or_text)
-    return encode_database(names, seqs, pad_multiple=pad_multiple, seed=seed)
+    return encode_database(names, seqs, pad_multiple=pad_multiple, seed=seed,
+                           alphabet=alphabet)
 
 
 def pack_2bit(codes: np.ndarray) -> np.ndarray:

@@ -20,6 +20,7 @@ import numpy as np
 
 DNA_ALPHABET = "ACGT"
 RNA_ALPHABET = "ACGU"
+AMINO_ALPHABET = "ACDEFGHIKLMNPQRSTVWY"  # HMMER column order
 
 _ALPHABET_CARDINALITY = {"dna": 4, "rna": 4, "amino": 20}
 
@@ -263,7 +264,10 @@ def write_hmm(models: Union[ProfileHmm, Sequence[ProfileHmm]], out: Union[str, T
 
     for m in models:
         k = m.alphabet_cardinality
-        symbols = DNA_ALPHABET if m.alphabet != "rna" else RNA_ALPHABET
+        if m.alphabet == "amino":
+            symbols = AMINO_ALPHABET
+        else:
+            symbols = DNA_ALPHABET if m.alphabet != "rna" else RNA_ALPHABET
         out.write("HMMER3/f [3.4 | havac_tpu]\n")
         out.write(f"NAME  {m.name}\n")
         if m.accession:

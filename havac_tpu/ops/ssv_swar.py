@@ -89,6 +89,7 @@ def _ssv_swar_kernel(
     K: int,
     WS: int,
     isolate: bool,
+    card: int = 4,
     drain_bands: int = 1,
     debug_rows: bool = False,
     debug_drain: Optional[str] = None,
@@ -100,21 +101,21 @@ def _ssv_swar_kernel(
     orows_ref = None
     if debug_rows:
         (ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref,
-         ocnts_ref, orows_ref, state_ref, bits_ref, carry_ref, ind_refs_1,
-         ind_refs_2, ind_refs_3, cnt_ref, cntv_ref, dma_sem, nb_ref,
-         mones_ref, mmask_ref) = refs
+         ocnts_ref, orows_ref, state_ref, bits_ref, carry_ref,
+         *rest) = refs
     else:
         (ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref,
-         ocnts_ref, state_ref, bits_ref, carry_ref, ind_refs_1, ind_refs_2,
-         ind_refs_3, cnt_ref, cntv_ref, dma_sem, nb_ref, mones_ref,
-         mmask_ref) = refs
+         ocnts_ref, state_ref, bits_ref, carry_ref, *rest) = refs
+    ind_refs = tuple(rest[:card - 1])
+    (cnt_ref, cntv_ref, dma_sem, nb_ref, mones_ref,
+     mmask_ref) = rest[card - 1:]
     _ssv_swar_body(scores_smem, symw_ref, istate_ref, icarry_ref,
                    ostate_ref, ocarry_ref, ometa_ref, ocount_ref, otiles_ref,
-                   ocnts_ref, state_ref, bits_ref, carry_ref, ind_refs_1,
-                   ind_refs_2, ind_refs_3, cnt_ref, cntv_ref, dma_sem,
+                   ocnts_ref, state_ref, bits_ref, carry_ref, ind_refs,
+                   cnt_ref, cntv_ref, dma_sem,
                    nb_ref, mones_ref, mmask_ref,
                    reset_smem if isolate else None, K=K, WS=WS,
-                   isolate=isolate, drain_bands=drain_bands,
+                   isolate=isolate, card=card, drain_bands=drain_bands,
                    orows_ref=orows_ref, debug_drain=debug_drain,
                    emit_cnts=emit_cnts, cnt_mxu=cnt_mxu)
 
@@ -134,7 +135,7 @@ def _ssv_swar_body(
     state_ref,  # (WS, 128) int32 VMEM
     bits_ref,  # (2, WS, 128) int32 VMEM — double-buffered DMA staging
     carry_ref,  # (2, ROWS1) int32 SMEM — the "score queue"
-    ind_refs_1, ind_refs_2, ind_refs_3,  # (WS,128) int32 VMEM indicator planes
+    ind_refs,  # (card-1)-tuple of (WS,128) int32 VMEM indicator planes
     cnt_ref,  # (1,) int32 SMEM
     cntv_ref,  # (2, 8, 128) int32 VMEM — count-block staging for the DMA
     dma_sem,  # (2, 2) DMA semaphores: [staging slot, bands|sidecar]
@@ -146,6 +147,10 @@ def _ssv_swar_body(
     K: int,
     WS: int,
     isolate: bool,
+    card: int = 4,  # alphabet cardinality (4 = nucleotide, 20 = amino):
+    #   symbols occupy the low bits of each 10-bit field and the match
+    #   gather generalizes to card-1 indicator planes (the reference is
+    #   nucleotide-only, `README.md:2` — amino is capability beyond parity).
     drain_bands: int = 1,
     orows_ref=None,  # (1, K, WS, 128) VMEM debug output: packed state/row
     emit_cnts: bool = True,  # False skips the in-kernel count sidecar: the
@@ -215,9 +220,18 @@ def _ssv_swar_body(
         state_ref[:] = istate_ref[0]
         w = symw_ref[0]
         fm = jnp.int32(FMASK)
-        for a, ref in enumerate((ind_refs_1, ind_refs_2, ind_refs_3), start=1):
+        # Symbol values are (card-1).bit_length() bits wide per field; the
+        # zero-field test OR-folds exactly that many bits onto bit 0 (the
+        # nucleotide case keeps its original x | (x >> 1) sequence).
+        nbits = max(1, (card - 1).bit_length())
+        for a, ref in enumerate(ind_refs, start=1):
             x = w ^ jnp.int32(a * FMASK)  # field == 0 iff symbol == a
-            nz = (x | (x >> 1)) & fm  # bit0 of field set iff field != 0
+            nz = x
+            sh = 1
+            while sh < nbits:
+                nz = nz | (nz >> sh)
+                sh *= 2
+            nz = nz & fm  # bit0 of field set iff field != 0
             ref[:] = nz ^ fm
         tail = (istate_ref[0, WS - 1, 127] >> 20) & FIELD
         carry_ref[wslot, 0] = tail
@@ -240,9 +254,7 @@ def _ssv_swar_body(
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (WS, 128), 0)
     col0 = col_ids == 0
     pos00 = jnp.logical_and(col0, row_ids == 0)
-    i1 = ind_refs_1[:]
-    i2 = ind_refs_2[:]
-    i3 = ind_refs_3[:]
+    i_planes = [ref[:] for ref in ind_refs]
 
     state = state_ref[:]
     bits = jnp.zeros_like(state)
@@ -251,13 +263,14 @@ def _ssv_swar_body(
     for k in range(K):
         j = j0 + k
         m0 = scores_smem[0, k, 0]
-        m1 = scores_smem[0, k, 1]
-        m2 = scores_smem[0, k, 2]
-        m3 = scores_smem[0, k, 3]
         # match = Σ_f mb[sym_f]·2^10f: splat the symbol-0 score to all three
         # fields on the scalar unit, then add indicator-masked deltas — an
         # exact integer identity (final field values < 1024, no carry-out).
-        match = (m0 * fm) + i1 * (m1 - m0) + i2 * (m2 - m0) + i3 * (m3 - m0)
+        # card-1 fused multiply-adds per word (3 for nucleotide; 19 for
+        # amino, where the reference has no path at all).
+        match = m0 * fm
+        for a, ia in enumerate(i_planes, start=1):
+            match = match + ia * (scores_smem[0, k, a] - m0)
 
         rolled = pltpu.roll(state, 1, 1)
         rolled_sub = pltpu.roll(rolled, 1, 0)
@@ -546,7 +559,7 @@ def _ssv_swar_jit(
     cnt_mxu: bool = False,  # True: MXU count rung (measured worse, see body)
 ):
     B, WS, _ = symw_blocks.shape
-    S, K, _ = scores_strips.shape
+    S, K, card = scores_strips.shape
     rows1 = icarry.shape[0]
     maxt = max_hit_tiles
     if WS % 8 or WS // 8 > 128:
@@ -554,11 +567,17 @@ def _ssv_swar_jit(
             f"WS={WS} unsupported: the count sidecar stages (8, WS/8) "
             "blocks in one 128-lane tile, so WS must be a multiple of 8 "
             "and at most 1024 (block_width <= 393216)")
+    if not 2 <= card <= 32:
+        raise ValueError(
+            f"cardinality {card} unsupported: symbols live in the low 5 "
+            "bits of each 10-bit SWAR field and the match gather keeps "
+            "card-1 indicator planes in VMEM")
 
     grid = (B, S)
     nbands = _effective_drain_bands(WS, drain_bands)
     kernel = functools.partial(_ssv_swar_kernel, K=K, WS=WS, isolate=isolate,
-                               drain_bands=nbands, debug_rows=debug_rows,
+                               card=card, drain_bands=nbands,
+                               debug_rows=debug_rows,
                                debug_drain=debug_drain, emit_cnts=emit_cnts,
                                cnt_mxu=cnt_mxu)
     if tiles_buf is not None:
@@ -571,7 +590,8 @@ def _ssv_swar_jit(
         def kernel(*refs):  # noqa: F811 - deliberate wrapper
             inner_kernel(*refs[:nin], *refs[nin + 2:])
     in_specs = [
-        pl.BlockSpec((1, K, 4), lambda b, s: (s, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, K, card), lambda b, s: (s, 0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec((1, WS, 128), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, WS, 128), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -640,9 +660,10 @@ def _ssv_swar_jit(
             pltpu.VMEM((WS, 128), jnp.int32),  # state
             pltpu.VMEM((2, WS, 128), jnp.int32),  # bits double-buffer
             pltpu.SMEM((2, rows1), jnp.int32),  # carry double-buffer
-            pltpu.VMEM((WS, 128), jnp.int32),  # ind1
-            pltpu.VMEM((WS, 128), jnp.int32),  # ind2
-            pltpu.VMEM((WS, 128), jnp.int32),  # ind3
+        ] + [
+            pltpu.VMEM((WS, 128), jnp.int32)  # card-1 indicator planes
+            for _ in range(card - 1)
+        ] + [
             pltpu.SMEM((1,), jnp.int32),  # tile count
             pltpu.VMEM((2, 8, 128), jnp.int32),  # count-block DMA staging
             pltpu.SemaphoreType.DMA((2, 2)),  # per-slot (bands, sidecar) sems
@@ -770,9 +791,10 @@ def ssv_swar(
     sym_padded[:L] = symbols
     symw_blocks = pack_symbols(sym_padded, W3)
 
-    scores_padded = np.full((P2, 4), -128, dtype=np.int32)
+    card = scores.shape[1]
+    scores_padded = np.full((P2, card), -128, dtype=np.int32)
     scores_padded[:P] = scores.astype(np.int32)
-    scores_strips = (scores_padded + 256).reshape(S, K, 4)
+    scores_strips = (scores_padded + 256).reshape(S, K, card)
 
     istate = np.zeros(L2, dtype=np.int32)
     if init_state is not None:

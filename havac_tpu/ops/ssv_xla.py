@@ -48,8 +48,10 @@ def ssv_scan_xla(
     if P % K:
         raise ValueError(f"P={P} must be a multiple of rows_per_strip={K}")
 
-    onehot = jax.nn.one_hot(symbols.astype(jnp.int32), 4, dtype=jnp.int32)  # (L, 4)
-    scores_i32 = scores.astype(jnp.int32).reshape(P // K, K, 4)
+    card = scores.shape[1]  # 4 = nucleotide, 20 = amino (round 5)
+    onehot = jax.nn.one_hot(symbols.astype(jnp.int32), card,
+                            dtype=jnp.int32)  # (L, card)
+    scores_i32 = scores.astype(jnp.int32).reshape(P // K, K, card)
     carries = init_carry[:P].astype(jnp.int32).reshape(P // K, K)
     if reset_rows is None:
         resets = jnp.zeros((P // K, K), jnp.int32)
@@ -58,7 +60,7 @@ def ssv_scan_xla(
 
     def row_step(carry, inputs):
         row, bits = carry
-        score_row, carry_in, reset = inputs  # (4,), scalar, scalar
+        score_row, carry_in, reset = inputs  # (card,), scalar, scalar
         m = onehot @ score_row  # (L,) match scores via MXU-friendly dot
         shifted = jnp.roll(row, 1).at[0].set(carry_in) * (1 - reset)
         s = shifted + m

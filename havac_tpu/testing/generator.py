@@ -36,20 +36,22 @@ def model_from_consensus(
     msv_mu: float = DEFAULT_MSV_MU,
     msv_lambda: float = DEFAULT_MSV_LAMBDA,
     max_length: int = 0,
+    alphabet: str = "dna",
 ) -> ProfileHmm:
     """Build a ProfileHmm whose match states emit ``consensus_codes`` with
     probability ``match_probability`` (rest spread evenly). Scores are stored
     as negative natural logs, the HMMER3 on-disk convention."""
+    card = 20 if alphabet == "amino" else 4
     consensus_codes = np.asarray(consensus_codes, dtype=np.int64)
     length = consensus_codes.shape[0]
-    off_probability = (1.0 - match_probability) / 3.0
-    probs = np.full((length, 4), off_probability, dtype=np.float64)
+    off_probability = (1.0 - match_probability) / (card - 1)
+    probs = np.full((length, card), off_probability, dtype=np.float64)
     probs[np.arange(length), consensus_codes] = match_probability
     return ProfileHmm(
         name=name,
         model_length=length,
         max_length=max_length if max_length > 0 else 4 * length,
-        alphabet="dna",
+        alphabet=alphabet,
         msv_mu=msv_mu,
         msv_lambda=msv_lambda,
         match_scores=(-np.log(probs)).astype(np.float32),
@@ -61,6 +63,7 @@ def mutate_codes(
     codes: np.ndarray,
     substitution_rate: float = 0.05,
     indel_rate: float = 0.01,
+    card: int = 4,
 ) -> np.ndarray:
     """Substitutions + indels so hits are near- but not exact-diagonal
     (hmmSeqGenerator.cpp:156-234 analog)."""
@@ -70,9 +73,9 @@ def mutate_codes(
         if r < indel_rate / 2:
             continue  # deletion
         if r < indel_rate:
-            out.append(int(rng.integers(0, 4)))  # insertion
+            out.append(int(rng.integers(0, card)))  # insertion
         if rng.random() < substitution_rate:
-            out.append(int((code + rng.integers(1, 4)) % 4))
+            out.append(int((code + rng.integers(1, card)) % card))
         else:
             out.append(int(code))
     return np.asarray(out, dtype=np.uint8)
@@ -84,20 +87,26 @@ def generate_planted_fixture(
     sequence_length: int = 8000,
     num_models: int = 1,
     num_plants_per_model: int = 2,
+    alphabet: str = "dna",
 ) -> Tuple[List[ProfileHmm], List[Tuple[str, str]]]:
     """Random sequence(s) with mutated copies of each model's consensus planted
     at random offsets. Returns (models, [(name, sequence_string)])."""
+    from havac_tpu.io.hmm import AMINO_ALPHABET
+
     rng = np.random.default_rng(seed)
+    card = 20 if alphabet == "amino" else 4
+    letters = AMINO_ALPHABET if alphabet == "amino" else NUCS
     models = []
-    background = rng.integers(0, 4, size=sequence_length).astype(np.uint8)
+    background = rng.integers(0, card, size=sequence_length).astype(np.uint8)
     for mi in range(num_models):
-        consensus = rng.integers(0, 4, size=model_length).astype(np.uint8)
-        models.append(model_from_consensus(consensus, name=f"synth-{mi}"))
+        consensus = rng.integers(0, card, size=model_length).astype(np.uint8)
+        models.append(model_from_consensus(consensus, name=f"synth-{mi}",
+                                           alphabet=alphabet))
         for _ in range(num_plants_per_model):
-            planted = mutate_codes(rng, consensus)
+            planted = mutate_codes(rng, consensus, card=card)
             offset = int(rng.integers(0, max(1, sequence_length - planted.size)))
             background[offset : offset + planted.size] = planted[
                 : max(0, sequence_length - offset)
             ]
-    seq_str = "".join(NUCS[c] for c in background)
+    seq_str = "".join(letters[c] for c in background)
     return models, [("synth-seq-0", seq_str)]

@@ -135,10 +135,11 @@ def test_usage_errors_and_state():
         engine.hits()
 
 
-def test_amino_models_rejected_at_load():
-    """The kernels are 4-symbol; amino models (cardinality 20) must fail at
-    load_phmm with a clear usage error, not an opaque downstream shape error
-    (reference is nucleotide-only, README.md:2)."""
+def test_alphabet_cardinality_at_load():
+    """Amino models (cardinality 20) LOAD since round 5 (SWAR card
+    parameter / xla one-hot; tests/test_amino.py covers exactness); an
+    unknown cardinality still fails at load_phmm with a clear usage error,
+    not an opaque downstream shape error."""
     from havac_tpu.io.hmm import ProfileHmm
 
     amino = ProfileHmm(
@@ -146,8 +147,17 @@ def test_amino_models_rejected_at_load():
         msv_mu=-5.0, msv_lambda=0.7,
         match_scores=np.full((8, 20), 2.0, dtype=np.float32))
     engine = Havac(config=CFG, backend="xla")
-    with pytest.raises(HavacUsageError, match="nucleotide-only"):
-        engine.load_phmm(amino)
+    engine.load_phmm(amino)
+    assert engine.alphabet == "amino"
+
+    class Stub:  # a cardinality the engine does not support
+        name = "weird-1"
+        alphabet = "weird"
+        alphabet_cardinality = 6
+        model_length = 8
+
+    with pytest.raises(HavacUsageError, match="cardinality 6"):
+        Havac(config=CFG, backend="xla").load_phmm([Stub()])
 
 
 def test_async_run_and_abort():

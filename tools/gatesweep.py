@@ -55,10 +55,11 @@ CONFIGS = {
     "bands42": {"HAVAC_DRAIN_BANDS": "42"},
     "bands126": {"HAVAC_DRAIN_BANDS": "126"},
     "pack0": {"HAVAC_REC_PACK": "0"},
+    "keyform0": {"HAVAC_KEYFORM": "0"},
 }
 _KNOB_VARS = ("HAVAC_TILE_BUDGET_GB", "HAVAC_LOOKAHEAD", "HAVAC_FUSE",
               "HAVAC_DONATE", "HAVAC_SLICE_PULL", "HAVAC_PULL_BATCH",
-              "HAVAC_DRAIN_BANDS", "HAVAC_REC_PACK")
+              "HAVAC_DRAIN_BANDS", "HAVAC_REC_PACK", "HAVAC_KEYFORM")
 
 
 def main() -> int:

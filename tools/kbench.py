@@ -52,11 +52,12 @@ def time_differential(step, state0, *, n_lo=1, n_hi=9, iters=5):
 
 
 def bench_swar(B: int, P: int, W: int, max_hit_tiles: int = 512,
-               iters: int = 5, dense: bool = False) -> float:
+               iters: int = 5, dense: bool = False, card: int = 4) -> float:
     """``dense=True`` uses hit-rich scores (every strip flushes its tiles,
     the engine's realistic p=0.02 regime) and sizes the tile buffer for it —
     the regime where the kernel's hit-DMA overlap matters; the default
-    sparse scores measure pure compute."""
+    sparse scores measure pure compute. ``card=20`` measures the amino
+    variant (card-1 indicator planes; VERDICT r4 #7's rate record)."""
     import jax.numpy as jnp
 
     from havac_tpu.ops.ssv_swar import (
@@ -65,15 +66,15 @@ def bench_swar(B: int, P: int, W: int, max_hit_tiles: int = 512,
     W3 = W // 3
     L = B * W
     rng = np.random.default_rng(0)
-    codes = rng.integers(0, 4, size=L).astype(np.uint8)
+    codes = rng.integers(0, card, size=L).astype(np.uint8)
     hi = 110 if dense else 12
-    scores = rng.integers(-40, hi, size=(P, 4)).astype(np.int8)
+    scores = rng.integers(-40, hi, size=(P, card)).astype(np.int8)
     S = P // ROWS_PER_STRIP
     if dense:
         max_hit_tiles = B * S * (ROWS_PER_STRIP // ROWS_PER_FLUSH)
     symw = jnp.asarray(pack_symbols(codes, W3))
     sc = jnp.asarray((scores.astype(np.int32) + 256)
-                     .reshape(S, ROWS_PER_STRIP, 4))
+                     .reshape(S, ROWS_PER_STRIP, card))
     ist = jnp.zeros((B, W3 // 128, 128), jnp.int32)
     ic = jnp.zeros(P + 1, jnp.int32)
 
@@ -127,6 +128,10 @@ def main():
     ap.add_argument("--dense", action="store_true",
                     help="hit-rich scores: every strip flushes its hit "
                     "tiles (SWAR kernel only)")
+    ap.add_argument("--card", type=int, default=4,
+                    help="alphabet cardinality (SWAR kernel only): 4 = "
+                    "nucleotide, 20 = amino. Amino wants --width 196608 "
+                    "(19 indicator planes must fit VMEM)")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
@@ -137,12 +142,12 @@ def main():
     for B in blocks:
         if args.kernel == "swar":
             g = bench_swar(B, args.rows, args.width, iters=args.iters,
-                           dense=args.dense)
+                           dense=args.dense, card=args.card)
         else:
             g = bench_unpacked(B, args.rows, args.width,
                                K=args.rows_per_strip, iters=args.iters)
         print(f"{args.kernel} B={B:3d} W={args.width} P={args.rows}"
-              f"{' dense' if args.dense else ''}: "
+              f" card={args.card}{' dense' if args.dense else ''}: "
               f"{g:8.1f} GCUPS", flush=True)
 
 
