@@ -306,6 +306,123 @@ def make_swar_dist_batch_step_fn(mesh: Mesh, axis: str, block_words: int,
     return jax.jit(fn, donate_argnums=(7, 8, 9))
 
 
+def make_swar_dist_superstep_fn(mesh: Mesh, axis: str, block_words: int,
+                                rows_per_step: int, num_chunks: int,
+                                max_hit_tiles: int, record_cap: int,
+                                interpret: bool, col_chunks: int = 1,
+                                isolate: bool = False, batch: int = 8,
+                                pack16: bool = True):
+    """:func:`make_swar_dist_batch_step_fn` with ``batch`` wavefront steps
+    per DISPATCH (round 5): the per-step body runs under one ``lax.scan``,
+    so the host enqueues once per batch instead of once per step. On the
+    tunnel rig each enqueue costs ~30 ms; at the dense 150k point the
+    per-step flow spent 33.5 s of its 114.5 s run in dispatch alone
+    (benchmarks/race_paths_r5_v5e.json) — the superstep divides that by
+    ``batch`` while keeping the batched two-transfer pull flow and an
+    abort/checkpoint granularity of ``batch`` steps (the monolithic scan is
+    uncancelable; this is the middle ground). A production local-PJRT
+    deployment (~50 µs enqueue) gains little but loses nothing.
+
+    fn(symw, scores, resets, istate sharded, seam sharded, t0 (1,)
+    replicated first step, nsteps (1,) replicated live-step count (≤ batch;
+    trailing scan iterations are inactive no-ops with n = 0 headers),
+    hdrbuf/recbuf/roff sharded+donated) → (istate', seam', hdrbuf',
+    recbuf', roff')."""
+    shard_map = _get_shard_map()
+    S = num_chunks
+    D = mesh.shape[axis]
+    W3 = block_words
+    CC = col_chunks
+    cap = record_cap
+    kb = batch
+    perm = [(k, k + 1) for k in range(D - 1)]
+
+    def device_fn(symw, scores_strips, reset_steps, istate, seam_in, t0,
+                  nsteps, hdrbuf, recbuf, roff):
+        k = jax.lax.axis_index(axis)
+        Bs = symw.shape[0]
+        assert Bs % CC == 0, (
+            f"shard blocks ({Bs}) must be a multiple of col_chunks ({CC})")
+        Bc = Bs // CC
+
+        def one_step(carry, i):
+            istate, seam, hdrbuf, recbuf, off = carry
+            t = t0[0] + i
+            s = t - k
+            # ``live``: a real wavefront step of this batch (trailing scan
+            # iterations of a partial batch are dead and must leave ALL
+            # carried state — including the seam — untouched). ``active``:
+            # live AND inside this shard's s-range; edge-inactive live
+            # steps still ppermute zeros into the pipe, exactly like the
+            # per-step flow.
+            live = i < nsteps[0]
+            active = jnp.logical_and(live,
+                                     jnp.logical_and(s >= 0, s < S))
+            sc = jax.lax.dynamic_index_in_dim(
+                scores_strips, jnp.clip(s, 0, S - 1), 0, keepdims=False)
+            rr = jax.lax.dynamic_index_in_dim(
+                reset_steps, jnp.clip(s, 0, S - 1), 0, keepdims=False)
+
+            def col_chunk(carry_c, c):
+                symw_c = jax.lax.dynamic_slice_in_dim(symw, c * Bc, Bc)
+                istate_c = jax.lax.dynamic_slice_in_dim(istate, c * Bc, Bc)
+                (ostate, ocarry, ometa, ocount, otiles,
+                 ocnts) = _ssv_swar_jit(
+                    symw_c, sc, istate_c, carry_c,
+                    rr if isolate else None, block_words=W3,
+                    max_hit_tiles=max_hit_tiles, interpret=interpret,
+                    isolate=isolate)
+                count = jnp.where(active, ocount[0], 0)
+                if pack16:
+                    header, words, dpk, escv = _compact_tiles_packed16(
+                        otiles, ocnts, ometa, count, cap=cap)
+                    return ocarry, (ostate, header, words, dpk, escv)
+                header, rec = _compact_tiles_split(otiles, ocnts, ometa,
+                                                   count, cap=cap)
+                return ocarry, (ostate, header, rec)
+
+            ocarry, scanned = jax.lax.scan(col_chunk, seam, jnp.arange(CC))
+            ostates, headers = scanned[0], scanned[1]
+            new_istate = ostates.reshape(Bs, *symw.shape[1:])
+            istate = jnp.where(active, new_istate, istate)
+            seam_out = jnp.where(active, ocarry, jnp.zeros_like(ocarry))
+            seam = jnp.where(live, jax.lax.ppermute(seam_out, axis, perm),
+                             seam)
+            for c in range(CC):
+                hdrbuf = jax.lax.dynamic_update_slice(
+                    hdrbuf, headers[c][None], (i * CC + c, 0))
+                n = jnp.minimum(headers[c][0], cap)
+                if pack16:
+                    _, _, words, dpk, escv = scanned
+                    recbuf = jax.lax.dynamic_update_slice(recbuf, words[c],
+                                                          (off,))
+                    recbuf = jax.lax.dynamic_update_slice(recbuf, dpk[c],
+                                                          (off + n,))
+                    recbuf = jax.lax.dynamic_update_slice(
+                        recbuf, escv[c], (off + n + (n + 1) // 2,))
+                    off = off + _packed16_advance(n, cap, headers[c][2])
+                else:
+                    recbuf = jax.lax.dynamic_update_slice(
+                        recbuf, scanned[2][c], (off,))
+                    off = off + 2 * n
+            return (istate, seam, hdrbuf, recbuf, off), None
+
+        init = (istate, seam_in[0], hdrbuf, recbuf, roff[0])
+        (istate, seam, hdrbuf, recbuf, off), _ = jax.lax.scan(
+            one_step, init, jnp.arange(kb, dtype=jnp.int32))
+        return istate, seam[None], hdrbuf, recbuf, off[None]
+
+    specs = dict(mesh=mesh,
+                 in_specs=(P(axis), P(), P(), P(axis), P(axis), P(), P(),
+                           P(axis), P(axis), P(axis)),
+                 out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)))
+    try:
+        fn = shard_map(device_fn, check_vma=False, **specs)
+    except TypeError:  # pragma: no cover - older jax
+        fn = shard_map(device_fn, check_rep=False, **specs)
+    return jax.jit(fn, donate_argnums=(7, 8, 9))
+
+
 class SwarDistributedSweep:
     """Stateful multi-chip SWAR sweep (engine mesh fast path).
 
@@ -382,6 +499,14 @@ class SwarDistributedSweep:
         self._pull_batch = int(os.environ.get("HAVAC_MESH_PULL_BATCH", "8"))
         if self._pull_batch < 0:
             self._pull_batch = 8
+        # HAVAC_MESH_SUPERSTEP=0 — one dispatch per wavefront step (the
+        # round-5-early flow) instead of one dispatch per pull batch. The
+        # superstep scan cuts the per-enqueue tunnel cost (~30 ms each;
+        # 33.5 s of the dense 150k run) by the batch factor while keeping
+        # abort/checkpoint granularity at ``pull_batch`` steps.
+        self._superstep = (self._pull_batch > 0 and
+                           os.environ.get("HAVAC_MESH_SUPERSTEP", "1")
+                           != "0")
         # HAVAC_REC_PACK=0 — legacy interleaved (idx, word) pairs instead of
         # the delta16 wire layout (same knob as the pipelined engine).
         self._rec_pack = (self._pull_batch > 0 and
@@ -459,10 +584,14 @@ class SwarDistributedSweep:
         rr_dev = stage_replicated(rr.reshape(S, self.R), self.mesh)
 
         kb = 0 if monolithic else self._pull_batch
-        key = (S, isolate, monolithic, kb, self._rec_pack)
+        key = (S, isolate, monolithic, kb, self._rec_pack, self._superstep)
         if key not in self._fns:
             if monolithic:
                 make = make_swar_dist_fn
+            elif kb and self._superstep:
+                import functools as _ft
+                make = _ft.partial(make_swar_dist_superstep_fn, batch=kb,
+                                   pack16=self._rec_pack)
             elif kb:
                 import functools as _ft
                 make = _ft.partial(make_swar_dist_batch_step_fn, batch=kb,
@@ -635,7 +764,7 @@ class SwarDistributedSweep:
         tarr = stage_replicated(
             np.arange(T, dtype=np.int32).reshape(T, 1), self.mesh)
         barr = stage_replicated(
-            np.arange(kb, dtype=np.int32).reshape(kb, 1), self.mesh)
+            np.arange(kb + 1, dtype=np.int32).reshape(kb + 1, 1), self.mesh)
         hdrbuf = device_zeros((D * hdr_rows, 8 + maxt), jnp.int32,
                               self._shard)
         recbuf = device_zeros((D * slab,), jnp.int32, self._shard)
@@ -724,6 +853,51 @@ class SwarDistributedSweep:
             roff = device_zeros((D,), jnp.int32, self._shard)
             metas.clear()
 
+        def maybe_checkpoint(t_next: int) -> None:
+            t0 = time.perf_counter()
+            il, ilo = local_leading_slice(istate)
+            sl, slo = local_leading_slice(seam)
+            rows_s = (np.concatenate(all_rows) if all_rows
+                      else np.empty(0, dtype=np.int64))
+            pos_s = (np.concatenate(all_pos) if all_pos
+                     else np.empty(0, dtype=np.int64))
+            all_rows[:] = [rows_s]
+            all_pos[:] = [pos_s]
+            checkpoint_cb(t_next, il, ilo, sl, slo, rows_s, pos_s)
+            self.prof["sync"] += time.perf_counter() - t0
+
+        if self._superstep:
+            # One dispatch per pull batch: the superstep fn scans up to kb
+            # wavefront steps on device (trailing inactive steps of the
+            # final partial batch emit n = 0 headers). Abort and checkpoint
+            # land on batch boundaries.
+            t = start_t
+            while t < T:
+                if abort_event is not None and abort_event.is_set():
+                    return None
+                n = min(kb, T - t)
+                if checkpoint_cb is not None:
+                    # Cut the batch so it lands on the next checkpoint
+                    # boundary (boundaries strictly inside the sweep, like
+                    # the per-step flow's t+1 < T condition).
+                    nb = ((t - start_t) // ckpt_every + 1) * ckpt_every
+                    if (t - start_t) + n > nb and start_t + nb < T:
+                        n = nb - (t - start_t)
+                t0 = time.perf_counter()
+                istate, seam, hdrbuf, recbuf, roff = fn(
+                    self.symw_dev, sc_dev, rr_dev, istate, seam, tarr[t],
+                    barr[n], hdrbuf, recbuf, roff)
+                self.prof["dispatch"] += time.perf_counter() - t0
+                metas.extend(range(t, t + n))
+                t += n
+                if progress is not None:
+                    progress(t, T)
+                drain_batch()
+                if (checkpoint_cb is not None and t < T
+                        and (t - start_t) % ckpt_every == 0):
+                    maybe_checkpoint(t)
+            return True
+
         for t in range(start_t, T):
             if abort_event is not None and abort_event.is_set():
                 return None
@@ -740,17 +914,7 @@ class SwarDistributedSweep:
             if (checkpoint_cb is not None and t + 1 < T
                     and (t + 1 - start_t) % ckpt_every == 0):
                 drain_batch()  # seal the partial batch at the cut
-                t0 = time.perf_counter()
-                il, ilo = local_leading_slice(istate)
-                sl, slo = local_leading_slice(seam)
-                rows_s = (np.concatenate(all_rows) if all_rows
-                          else np.empty(0, dtype=np.int64))
-                pos_s = (np.concatenate(all_pos) if all_pos
-                         else np.empty(0, dtype=np.int64))
-                all_rows[:] = [rows_s]
-                all_pos[:] = [pos_s]
-                checkpoint_cb(t + 1, il, ilo, sl, slo, rows_s, pos_s)
-                self.prof["sync"] += time.perf_counter() - t0
+                maybe_checkpoint(t + 1)
         drain_batch()
         return True
 

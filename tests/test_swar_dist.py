@@ -156,9 +156,29 @@ class _AbortAfter:
         return self.calls > self.n
 
 
-def test_swar_dist_abort_mid_sweep():
-    """abort takes effect BETWEEN wavefront steps (run returns None), and
-    the sweep object remains usable afterwards."""
+def test_swar_dist_abort_mid_sweep(monkeypatch):
+    """abort takes effect BETWEEN dispatches (run returns None), and the
+    sweep object remains usable afterwards. Under the round-5 superstep
+    the dispatch (= abort poll) granularity is one pull batch of wavefront
+    steps; pin the batch to 2 so T = 6 spans three dispatches."""
+    monkeypatch.setenv("HAVAC_MESH_PULL_BATCH", "2")
+    rng = np.random.default_rng(13)
+    codes = rng.integers(0, 4, size=2 * 3072 * 4).astype(np.uint8)
+    scores = rng.integers(-40, 110, size=(90, 4)).astype(np.int8)  # T = 6
+    sweep = sweep_for(codes, 4)
+    ev = _AbortAfter(2)
+    assert sweep.run(scores, abort_event=ev) is None
+    assert ev.calls == 3  # polled per batch; tripped mid-sweep
+    rows, pos = sweep.run(scores)
+    want, _ = ssv_reference(codes, scores)
+    np.testing.assert_array_equal(rows, want.hit_rows)
+    np.testing.assert_array_equal(pos, want.hit_positions)
+
+
+def test_swar_dist_abort_per_step(monkeypatch):
+    """With the superstep disabled the abort poll stays per wavefront
+    step (the legacy dispatch granularity)."""
+    monkeypatch.setenv("HAVAC_MESH_SUPERSTEP", "0")
     rng = np.random.default_rng(13)
     codes = rng.integers(0, 4, size=2 * 3072 * 4).astype(np.uint8)
     scores = rng.integers(-40, 110, size=(90, 4)).astype(np.int8)  # T = 6
@@ -173,6 +193,8 @@ def test_swar_dist_abort_mid_sweep():
 
 
 def test_swar_dist_progress_reports_steps():
+    """Progress lands on dispatch boundaries: every step when T fits one
+    superstep batch is reported once at the end of its batch."""
     rng = np.random.default_rng(14)
     codes = rng.integers(0, 4, size=2 * 3072 * 2).astype(np.uint8)
     scores = rng.integers(-40, 110, size=(60, 4)).astype(np.int8)
@@ -180,12 +202,16 @@ def test_swar_dist_progress_reports_steps():
     sweep = sweep_for(codes, 2)
     sweep.run(scores, progress=lambda step, total: seen.append((step, total)))
     T = 60 // 30 + 2 - 1
-    assert seen == [(i + 1, T) for i in range(T)]
+    assert seen[-1] == (T, T)
+    assert [s for s, _ in seen] == sorted({s for s, _ in seen})
 
 
-def test_swar_dist_checkpoint_resume():
+def test_swar_dist_checkpoint_resume(monkeypatch):
     """Wavefront-step checkpoint/resume (VERDICT r2 #5): a sweep killed
-    mid-stream resumes from the last payload and produces the exact hits."""
+    mid-stream resumes from the last payload and produces the exact hits.
+    Pull batch pinned to 1 so the superstep's dispatch (= abort poll)
+    granularity matches the original per-step cadence."""
+    monkeypatch.setenv("HAVAC_MESH_PULL_BATCH", "1")
     rng = np.random.default_rng(21)
     codes = rng.integers(0, 4, size=2 * 3072 * 4).astype(np.uint8)
     scores = rng.integers(-40, 110, size=(150, 4)).astype(np.int8)  # T = 8
@@ -206,6 +232,55 @@ def test_swar_dist_checkpoint_resume():
     assert len(want.hit_rows) > 0
     np.testing.assert_array_equal(rows, want.hit_rows)
     np.testing.assert_array_equal(pos, want.hit_positions)
+
+
+def test_swar_dist_superstep_checkpoint_cuts_batches():
+    """Under the superstep (default), batches cut at checkpoint boundaries:
+    ckpt_every=3 with pull batch 8 over T=8 checkpoints at 3 and 6, and a
+    resume from each payload reproduces the exact hits."""
+    rng = np.random.default_rng(23)
+    codes = rng.integers(0, 4, size=2 * 3072 * 4).astype(np.uint8)
+    scores = rng.integers(-40, 110, size=(150, 4)).astype(np.int8)  # T = 8
+    sweep = sweep_for(codes, 4)
+    assert sweep._superstep and sweep._pull_batch == 8
+    payloads = []
+
+    def cb(t_next, il, ilo, sl, slo, rows, pos):
+        payloads.append((t_next, il.copy(), sl.copy(), rows.copy(),
+                         pos.copy()))
+
+    rows, pos = sweep.run(scores, checkpoint_cb=cb, ckpt_every=3)
+    assert [p[0] for p in payloads] == [3, 6]
+    want, _ = ssv_reference(codes, scores)
+    np.testing.assert_array_equal(rows, want.hit_rows)
+    np.testing.assert_array_equal(pos, want.hit_positions)
+    for p in payloads:
+        r2, p2 = sweep.run(scores, resume=p)
+        np.testing.assert_array_equal(r2, want.hit_rows)
+        np.testing.assert_array_equal(p2, want.hit_positions)
+
+
+def test_swar_dist_superstep_knob_is_exact(monkeypatch):
+    """HAVAC_MESH_SUPERSTEP=0 (per-step dispatch) produces identical hits
+    to the default batched-scan superstep, including a partial final
+    batch (T = 13 over batches of 8)."""
+    rng = np.random.default_rng(29)
+    codes = rng.integers(0, 4, size=4 * 3072 * 4).astype(np.uint8)
+    scores = rng.integers(-40, 110, size=(300, 4)).astype(np.int8)  # T = 13
+
+    sup = sweep_for(codes, 4)
+    assert sup._superstep
+    rows1, pos1 = sup.run(scores)
+    monkeypatch.setenv("HAVAC_MESH_SUPERSTEP", "0")
+    leg = sweep_for(codes, 4)
+    assert not leg._superstep
+    rows0, pos0 = leg.run(scores)
+    want, _ = ssv_reference(codes, scores)
+    assert len(want.hit_rows) > 0
+    np.testing.assert_array_equal(rows1, want.hit_rows)
+    np.testing.assert_array_equal(pos1, want.hit_positions)
+    np.testing.assert_array_equal(rows0, want.hit_rows)
+    np.testing.assert_array_equal(pos0, want.hit_positions)
 
 
 def test_swar_dist_pull_batch_knob_is_exact(monkeypatch):
