@@ -393,6 +393,19 @@ def _cumsum_1d_exact(v, tri):
     return (c + offs[:, None]).reshape(N).astype(jnp.int32)[:N0]
 
 
+# Ranks per while-loop block of the piecewise compaction search. 2^16 keeps
+# each block's (PIECE, 128) f32 intermediates at 32 MB (good XLA op sizes)
+# while one block covers most uniform-density chunks. HAVAC_COMPACT_PIECE
+# overrides (0 = monolithic cap-sized search, the pre-round-5 flow, kept
+# for A/B); read at trace time, so it binds per compiled executable.
+_COMPACT_PIECE = 1 << 16
+
+
+def _compact_piece() -> int:
+    v = int(os.environ.get("HAVAC_COMPACT_PIECE", str(_COMPACT_PIECE)))
+    return v if v > 0 else (1 << 30)
+
+
 def _compact_tiles_core(otiles, ocnts, count, cap: int):
     """Three-level record search over the count sidecar.
 
@@ -438,9 +451,12 @@ def _compact_tiles_core(otiles, ocnts, count, cap: int):
     row_offs = jnp.cumsum(row_tot)  # inclusive per-prefix-row totals
     offs2 = in_row + (row_offs - row_tot)[:, None]  # global inclusive prefix
     nrec = row_offs[NB - 1]
-    r = jnp.arange(cap, dtype=jnp.int32)
     ones = jnp.ones((128, 1), jnp.float32)
     tri = jnp.triu(jnp.ones((128, 128), jnp.float32))
+    if C != 128:
+        cnt128 = jnp.zeros((NG, 128), jnp.int32).at[:, :C].set(cnt_g)
+    else:
+        cnt128 = cnt_g
 
     def dotsum(mask_or_f32):
         m = mask_or_f32.astype(jnp.float32)
@@ -448,48 +464,86 @@ def _compact_tiles_core(otiles, ocnts, count, cap: int):
             m, ones, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)[:, 0]
 
-    # Level 1: bi = searchsorted(row_offs, r+1, 'left') for SORTED iota
-    # queries == #{j: row_offs[j] ≤ r} == cumsum of a tiny scatter.
-    marks = jnp.zeros((cap + 128,), jnp.int32).at[
-        jnp.minimum(row_offs, cap)].add(1)
-    bi = _cumsum_1d_exact(marks[:cap], tri)
-    bic = jnp.clip(bi, 0, NB - 1)
-    win = offs2[bic]  # (cap, 128) — the record's 128-group prefix window
-    gl = dotsum(win < (r + 1)[:, None]).astype(jnp.int32)
-    glc = jnp.clip(gl, 0, 127)
-    gic = jnp.clip(bic * 128 + glc, 0, NG - 1)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 128), 1)
-    row_base = (row_offs - row_tot)[bic]
-    oh_prev = jnp.logical_and(lane_iota == (glc - 1)[:, None],
-                              (glc > 0)[:, None])
-    g_prev_f = dotsum(win.astype(jnp.float32)
-                      * oh_prev.astype(jnp.float32))
-    g_prev = jnp.where(glc > 0, g_prev_f.astype(jnp.int32), row_base)
-    grank = r + 1 - g_prev  # 1-based rank within the group
-    if C != 128:
-        cnt128 = jnp.zeros((NG, 128), jnp.int32).at[:, :C].set(cnt_g)
-    else:
-        cnt128 = cnt_g
-    crow = cnt128[gic].astype(jnp.float32)  # (cap, 128) per-row counts
-    ccum = crow @ tri  # lane cumsum on the MXU (values ≤ 16k: exact)
-    gpos = dotsum(ccum < grank.astype(jnp.float32)[:, None]).astype(
-        jnp.int32)
-    gposc = jnp.clip(gpos, 0, C - 1)
-    oh_rp = jnp.logical_and(lane_iota == (gposc - 1)[:, None],
-                            (gposc > 0)[:, None])
-    row_prev = dotsum(ccum * oh_rp.astype(jnp.float32)).astype(jnp.int32)
-    rank = grank - row_prev  # 1-based rank within the row
-    row_rc = (gic // 8) * WS + (gic % 8) * C + gposc
-    sel = rows[row_rc]  # (cap, 128) — the only read of the tile buffer
-    rowcum = (sel != 0).astype(jnp.float32) @ tri
-    lane = dotsum(rowcum < rank.astype(jnp.float32)[:, None]).astype(
-        jnp.int32)
-    lanec = jnp.clip(lane, 0, 127)
-    words = jnp.take_along_axis(sel, lanec[:, None], axis=1)[:, 0]
-    ok = r < nrec
-    idx = jnp.where(ok, row_rc * 128 + lanec, -1)
-    words = jnp.where(ok, words, 0)
-    return nrec, idx, words
+    def rank_block(r0, Np: int):
+        """Locate records of ranks [r0, r0 + Np): the (Np, 128) search
+        levels for one contiguous rank block (``r0`` may be traced)."""
+        r = r0 + jnp.arange(Np, dtype=jnp.int32)
+        # Level 1: bi[j] = #{v: row_offs[v] ≤ r0 + j} = (count ≤ r0) +
+        # inclusive cumsum of a tiny scatter of the in-block offsets —
+        # the blocked form of the sorted-iota searchsorted collapse.
+        base = jnp.sum((row_offs <= r0).astype(jnp.int32))
+        pos = row_offs - r0
+        marks = jnp.zeros((Np + 128,), jnp.int32).at[
+            jnp.clip(pos, 0, Np)].add((pos >= 1).astype(jnp.int32))
+        bi = base + _cumsum_1d_exact(marks[:Np], tri)
+        bic = jnp.clip(bi, 0, NB - 1)
+        win = offs2[bic]  # (Np, 128) — the record's 128-group prefix window
+        gl = dotsum(win < (r + 1)[:, None]).astype(jnp.int32)
+        glc = jnp.clip(gl, 0, 127)
+        gic = jnp.clip(bic * 128 + glc, 0, NG - 1)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (Np, 128), 1)
+        row_base = (row_offs - row_tot)[bic]
+        oh_prev = jnp.logical_and(lane_iota == (glc - 1)[:, None],
+                                  (glc > 0)[:, None])
+        g_prev_f = dotsum(win.astype(jnp.float32)
+                          * oh_prev.astype(jnp.float32))
+        g_prev = jnp.where(glc > 0, g_prev_f.astype(jnp.int32), row_base)
+        grank = r + 1 - g_prev  # 1-based rank within the group
+        crow = cnt128[gic].astype(jnp.float32)  # (Np, 128) per-row counts
+        ccum = crow @ tri  # lane cumsum on the MXU (values ≤ 16k: exact)
+        gpos = dotsum(ccum < grank.astype(jnp.float32)[:, None]).astype(
+            jnp.int32)
+        gposc = jnp.clip(gpos, 0, C - 1)
+        oh_rp = jnp.logical_and(lane_iota == (gposc - 1)[:, None],
+                                (gposc > 0)[:, None])
+        row_prev = dotsum(ccum * oh_rp.astype(jnp.float32)).astype(
+            jnp.int32)
+        rank = grank - row_prev  # 1-based rank within the row
+        row_rc = (gic // 8) * WS + (gic % 8) * C + gposc
+        sel = rows[row_rc]  # (Np, 128) — the only read of the tile buffer
+        rowcum = (sel != 0).astype(jnp.float32) @ tri
+        lane = dotsum(rowcum < rank.astype(jnp.float32)[:, None]).astype(
+            jnp.int32)
+        lanec = jnp.clip(lane, 0, 127)
+        words = jnp.take_along_axis(sel, lanec[:, None], axis=1)[:, 0]
+        ok = r < nrec
+        idx = jnp.where(ok, row_rc * 128 + lanec, -1)
+        words = jnp.where(ok, words, 0)
+        return idx, words
+
+    if cap <= _compact_piece():
+        idx, words = rank_block(jnp.int32(0), cap)
+        return nrec, idx, words
+    # Piecewise search (round 5): the (cap, 128) levels were the one
+    # compaction cost LINEAR IN CAP (17.3 ms at cap 110k, measured), and
+    # the cap is a sticky worst-case learned per geometry — at the genomic
+    # 150k point (cap 430k, mean chunk ~143k records) every chunk paid ~3×
+    # its actual record count, and empty chunks paid full freight. A
+    # while_loop of ⌈nrec/piece⌉ fixed-shape blocks makes the cost follow
+    # the ACTUAL records; ranks past nrec keep the same -1/0 filler the
+    # monolithic form produced (the trailing pieces simply never run).
+    PIECE = _compact_piece()
+    capp = round_up(cap, PIECE)
+    idx0 = jnp.full((capp,), -1, jnp.int32)
+    words0 = jnp.zeros((capp,), jnp.int32)
+    # Overflowed chunks (nrec > cap) still fill exactly the buffer — the
+    # truncated tail is regenerated by the host's grown-cap redispatch.
+    npieces = jnp.minimum((nrec + PIECE - 1) // PIECE, capp // PIECE)
+
+    def cond(state):
+        return state[0] < npieces
+
+    def body(state):
+        p, idx, words = state
+        r0 = p * PIECE
+        idx_p, words_p = rank_block(r0, PIECE)
+        idx = jax.lax.dynamic_update_slice(idx, idx_p, (r0,))
+        words = jax.lax.dynamic_update_slice(words, words_p, (r0,))
+        return p + 1, idx, words
+
+    _, idx, words = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), idx0, words0))
+    return nrec, idx[:cap], words[:cap]
 
 
 def _concat_fill(parts, pool):

@@ -920,6 +920,61 @@ def test_swar_pipelined_keyform_knob_is_exact(monkeypatch, tmp_path):
     assert_hits_equal(keyed.hits(), resumed.hits())
 
 
+def test_compact_piecewise_matches_dense_scan():
+    """The piecewise (while_loop) compaction search must emit exactly the
+    nonzero words of the live tiles in flat-index order across every
+    regime: sparse (1 piece), dense multi-piece, EMPTY (zero pieces run),
+    and cap overflow (the truncated prefix must still be exact — the host
+    redispatches at a grown cap)."""
+    import jax.numpy as jnp
+
+    import havac_tpu.engine.pipeline as pl
+
+    rng = np.random.default_rng(9)
+    maxt, WS = 600, 16
+    C = WS // 8
+
+    def make(density):
+        tiles = np.zeros((maxt, WS, 128), np.int32)
+        cnts = np.zeros((maxt, 8, 128), np.int32)
+        count = 550
+        nz = rng.random((count, WS, 128)) < density
+        tiles[:count] = np.where(
+            nz, rng.integers(1, 1 << 30, (count, WS, 128)), 0)
+        cnts[:, :, :C] = (tiles != 0).sum(axis=2).reshape(maxt, 8, C)
+        return jnp.asarray(tiles), jnp.asarray(cnts), jnp.int32(count)
+
+    def reference_records(tiles, count):
+        flat = np.asarray(tiles)[:int(count)].reshape(int(count), -1)
+        out = []
+        for s in range(int(count)):
+            for i in np.nonzero(flat[s])[0]:
+                out.append((s * WS * 128 + i, flat[s][i]))
+        return out
+
+    # Shrink the piece so the multi-piece path runs at test scale.
+    old = pl._COMPACT_PIECE
+    pl._COMPACT_PIECE = 4096
+    try:
+        for density, cap in [(0.002, 2048), (0.02, 1 << 14), (0.08, 1 << 16),
+                             (0.0, 2048), (0.08, 1 << 13)]:
+            tiles, cnts, count = make(density)
+            nrec_t, idx, words = pl._compact_tiles_core(tiles, cnts, count,
+                                                        cap)
+            nrec = int(nrec_t)
+            ref = reference_records(tiles, count)
+            assert nrec == len(ref)
+            m = min(nrec, cap)
+            got = list(zip(np.asarray(idx)[:m].tolist(),
+                           np.asarray(words)[:m].tolist()))
+            assert got == ref[:m], (density, cap)
+            if nrec < cap:
+                assert np.all(np.asarray(idx)[nrec:] == -1)
+                assert np.all(np.asarray(words)[nrec:] == 0)
+    finally:
+        pl._COMPACT_PIECE = old
+
+
 def test_compact_packed16_roundtrip_with_escapes():
     """_compact_tiles_packed16 → unpack_delta16 must reconstruct the exact
     (idx, word) records of _compact_tiles_split, including records whose

@@ -56,10 +56,13 @@ CONFIGS = {
     "bands126": {"HAVAC_DRAIN_BANDS": "126"},
     "pack0": {"HAVAC_REC_PACK": "0"},
     "keyform0": {"HAVAC_KEYFORM": "0"},
+    "piece0": {"HAVAC_COMPACT_PIECE": "0"},
+    "pb48": {"HAVAC_PULL_BATCH": "48"},
 }
 _KNOB_VARS = ("HAVAC_TILE_BUDGET_GB", "HAVAC_LOOKAHEAD", "HAVAC_FUSE",
               "HAVAC_DONATE", "HAVAC_SLICE_PULL", "HAVAC_PULL_BATCH",
-              "HAVAC_DRAIN_BANDS", "HAVAC_REC_PACK", "HAVAC_KEYFORM")
+              "HAVAC_DRAIN_BANDS", "HAVAC_REC_PACK", "HAVAC_KEYFORM",
+              "HAVAC_COMPACT_PIECE")
 
 
 def main() -> int:
